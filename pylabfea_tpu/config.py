@@ -1,0 +1,44 @@
+"""Global configuration for pylabfea_tpu.
+
+The framework has two execution profiles that share one code base:
+
+* **parity** (CPU, float64): bit-faithful to the reference numerical contract
+  (``/root/reference`` pyLabFEA v4.4.2 regression values). Used by the test
+  suite, which runs on a virtual 8-device CPU mesh.
+* **performance** (TPU, float32/bfloat16): all hot kernels jitted/vmapped,
+  assembly and CG sharded over a ``jax.sharding.Mesh``. Used by ``bench.py``
+  and production runs.
+
+x64 is enabled globally so that CPU-side math defaults to float64; TPU code
+paths construct float32 arrays explicitly, so the flag does not affect the
+performance profile.
+"""
+import os
+
+import jax
+
+# Enable 64-bit mode once, at package import. Hot TPU kernels pass explicit
+# float32 dtypes so this only changes the CPU/parity default.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+#: Default dtype for the parity (CPU) profile.
+DTYPE_PARITY = np.float64
+
+#: Default dtype for the performance (TPU) profile.
+DTYPE_TPU = np.float32
+
+
+def default_device_kind() -> str:
+    """Return 'tpu' if a TPU backend is attached, else 'cpu'."""
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
+def compute_dtype():
+    """Pick the compute dtype appropriate for the attached backend."""
+    return DTYPE_TPU if default_device_kind() != "cpu" else DTYPE_PARITY
