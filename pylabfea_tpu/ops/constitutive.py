@@ -1,0 +1,317 @@
+"""Device (JAX) constitutive kernels — the TPU hot path.
+
+Batched, jit/vmap-friendly twins of the host return map in
+``pylabfea_tpu.materials``: Hill-6p/J2 equivalent stress and gradient, SVC
+yield function with distance-to-locus root find, associated flow, consistent
+tangent, and the full substepping ``response`` update over (N, 6) element
+state batches.  All control flow is masked (fixed trip counts / while_loops),
+all shapes static, dtype-generic (float32 on TPU, float64 on CPU parity
+checks).
+
+The material parameter set is a pytree (`DeviceMaterial`) so the same jitted
+kernel serves any Hill/J2/SVC material; `kind` is static.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pylabfea_tpu.core.tensors import yf_tolerance
+from pylabfea_tpu.ops.rootfind import brent_jax
+from pylabfea_tpu.ops import jtensors as jt
+
+
+class DeviceMaterial(NamedTuple):
+    """Pytree of material parameters for the device kernels.
+
+    For analytic materials (`is_svc == 0`) the SVC fields hold dummy
+    (1, 6)/(1,) arrays; branchless evaluation keys off `is_svc` as a static
+    Python bool captured at trace time.
+    """
+    hill: jnp.ndarray        # (6,)
+    sy: jnp.ndarray          # scalar
+    khard: jnp.ndarray       # scalar
+    drucker: jnp.ndarray     # scalar
+    sv: jnp.ndarray          # (nsv, ndof) SVC support vectors
+    dc: jnp.ndarray          # (nsv,) dual coefficients
+    rho: jnp.ndarray         # scalar intercept
+    gamma: jnp.ndarray       # scalar kernel width
+    scale_seq: jnp.ndarray   # scalar feature scale
+    is_svc: bool             # static
+
+
+def device_material_from(mat, dtype=jnp.float32):
+    """Build a DeviceMaterial from a host ``Material``."""
+    as_d = lambda x: jnp.asarray(x, dtype=dtype)
+    if mat.ML_yf:
+        p = mat._svc
+        return DeviceMaterial(
+            hill=as_d(np.ones(6)), sy=as_d(mat.sy), khard=as_d(mat.khard or 0.),
+            drucker=as_d(0.), sv=as_d(p.support_vectors), dc=as_d(p.dual_coef),
+            rho=as_d(p.intercept), gamma=as_d(p.gamma),
+            scale_seq=as_d(mat.scale_seq), is_svc=True)
+    hill = np.ones(6)
+    hill[:len(mat.hill)] = mat.hill
+    return DeviceMaterial(
+        hill=as_d(hill), sy=as_d(mat.sy), khard=as_d(mat.khard or 0.),
+        drucker=as_d(mat.drucker or 0.),
+        sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
+        gamma=as_d(1.), scale_seq=as_d(mat.sy), is_svc=False)
+
+
+# -----------------------------------------------------------------
+# equivalent stress / yield function / gradient
+# -----------------------------------------------------------------
+def seq_hill(m: DeviceMaterial, sig):
+    """Hill-6p equivalent stress (J2 when all parameters are 1) with Drucker
+    hydrostatic term; sig (..., 6)."""
+    hp = m.hill
+    I2 = 0.5 * (hp[0] * (sig[..., 0] - sig[..., 1]) ** 2 +
+                hp[1] * (sig[..., 1] - sig[..., 2]) ** 2 +
+                hp[2] * (sig[..., 2] - sig[..., 0]) ** 2 +
+                6. * hp[3] * sig[..., 3] ** 2 +
+                6. * hp[4] * sig[..., 4] ** 2 +
+                6. * hp[5] * sig[..., 5] ** 2)
+    I1 = m.drucker * jnp.sum(sig[..., 0:3], axis=-1) / 3.
+    return jnp.sqrt(I2) + I1
+
+
+def svc_decision(m: DeviceMaterial, x):
+    """SVC decision function on feature rows x (N, ndof).  The (N, nsv)
+    distance matrix is evaluated in matmul form so XLA maps it to the MXU."""
+    d2 = (jnp.sum(x * x, axis=-1)[:, None]
+          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
+          - 2. * x @ m.sv.T)
+    k = jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
+    return k @ m.dc + m.rho
+
+def svc_gradient(m: DeviceMaterial, x):
+    """Gradient of the SVC decision function w.r.t. features (N, ndof)."""
+    d2 = (jnp.sum(x * x, axis=-1)[:, None]
+          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
+          - 2. * x @ m.sv.T)
+    w = m.dc[None, :] * jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
+    # sum_s w_s * (x - sv_s) = (sum_s w_s) x - w @ sv  — matmul form
+    return -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - w @ m.sv)
+
+
+def yf(m: DeviceMaterial, sig, peeq):
+    """Yield function: SVC decision or seq - sflow; sig (N, 6), peeq (N,)."""
+    if m.is_svc:
+        return svc_decision(m, sig / m.scale_seq)
+    return seq_hill(m, sig) - (m.sy + peeq * m.khard)
+
+
+def fgrad(m: DeviceMaterial, sig):
+    """Yield-surface gradient in stress space; sig (N, 6)."""
+    if m.is_svc:
+        return svc_gradient(m, sig / m.scale_seq) / m.scale_seq
+    hp = m.hill
+    seq = seq_hill(m, sig)
+    sdev = jt.sig_dev(sig)
+    d3 = m.drucker / 3.
+    g0 = ((hp[0] + hp[2]) * sdev[..., 0] - hp[0] * sdev[..., 1]
+          - hp[2] * sdev[..., 2]) / (2. * seq) + d3
+    g1 = ((hp[1] + hp[0]) * sdev[..., 1] - hp[0] * sdev[..., 0]
+          - hp[1] * sdev[..., 2]) / (2. * seq) + d3
+    g2 = ((hp[2] + hp[1]) * sdev[..., 2] - hp[2] * sdev[..., 0]
+          - hp[1] * sdev[..., 1]) / (2. * seq) + d3
+    g3 = 3. * hp[3] * sdev[..., 3] / seq
+    g4 = 3. * hp[4] * sdev[..., 4] / seq
+    g5 = 3. * hp[5] * sdev[..., 5] / seq
+    return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
+
+
+def ml_yf_dist(m: DeviceMaterial, sig, peeq, maxmarch=400):
+    """Distance of stresses to the SVC yield locus along their own loading
+    direction (device twin of Material.ML_full_yf): geometric bracket
+    marching (x0 *= 0.98 down / x1 *= 1.02 up) then Brent root find."""
+    seq = jt.seq_j2_voigt(sig)
+    sflow = m.sy + peeq * m.khard
+    small = seq < 0.01
+    safe_seq = jnp.where(small, 1., seq)
+    su = sig / safe_seq[:, None]
+
+    def f_of(x):
+        return svc_decision(m, (x[:, None] * su) / m.scale_seq)
+
+    x0 = jnp.where(su[:, 0] * su[:, 1] < -1.e-5, 0.5 * sflow, sflow)
+    x1 = x0
+
+    def march(x, fac, active_of):
+        def cond(s):
+            x, f, it = s
+            return active_of(x, f).any() & (it < maxmarch)
+
+        def body(s):
+            x, f, it = s
+            xn = jnp.where(active_of(x, f), x * fac, x)
+            return xn, f_of(xn), it + 1
+
+        return jax.lax.while_loop(cond, body, (x, f_of(x), 0))[0]
+
+    x0 = march(x0, 0.98, lambda x, f: (f >= 0.) & (x > 0.01))
+    x1 = march(x1, 1.02, lambda x, f: (f < 0.) & (x < 5. * sflow))
+    xs, ok = brent_jax(f_of, x0, x1, xtol=1.e-5)
+    good = ok & (xs < 4. * sflow) & ~small
+    seq_su = jt.seq_j2_voigt(su)
+    return jnp.where(good, seq - xs * seq_su, seq - 0.85 * sflow)
+
+
+def yf_dist(m: DeviceMaterial, sig, peeq):
+    """Distance-type yield function: ML root find for SVC, plain yf else."""
+    if m.is_svc:
+        return ml_yf_dist(m, sig, peeq)
+    return yf(m, sig, peeq)
+
+
+# -----------------------------------------------------------------
+# flow rule / tangent / return map
+# -----------------------------------------------------------------
+def epl_dot(m: DeviceMaterial, sig, peeq, CV, deps):
+    """Associated plastic strain increment (Crisfield ch. 6)."""
+    yfun = yf(m, sig + deps @ CV.T, peeq)
+    a = fgrad(m, sig)
+    ca = a @ CV.T
+    hh = jnp.sum(ca * a, axis=-1) + m.khard
+    lam = jnp.sum(ca * deps, axis=-1) / hh
+    pdot = lam[:, None] * a
+    return jnp.where((yfun > yf_tolerance)[:, None], pdot, 0.)
+
+
+def c_tan(m: DeviceMaterial, sig, CV):
+    """Consistent tangent Ct = C - (Ca (x) Ca) / (a^T C a + khard)."""
+    a = fgrad(m, sig)
+    ca = a @ CV.T
+    hh = jnp.sum(ca * a, axis=-1) + m.khard
+    return CV[None] - ca[:, :, None] * ca[:, None, :] / hh[:, None, None]
+
+
+def _compliance(CV):
+    """Pseudo-compliance used by the excess-stress correction (handles
+    plane-stress CV with empty rows)."""
+    SV = jnp.zeros_like(CV)
+    # build on host shapes: CV is concrete only at trace time; use where
+    full3 = CV[2, 2] > 1.
+    inv3 = jnp.linalg.inv(jnp.where(full3, CV[0:3, 0:3],
+                                    CV[0:3, 0:3] + jnp.diag(
+                                        jnp.array([0., 0., 1.], CV.dtype))))
+    inv2 = jnp.linalg.inv(CV[0:2, 0:2])
+    top = jnp.where(full3, inv3,
+                    jnp.zeros((3, 3), CV.dtype).at[0:2, 0:2].set(inv2))
+    SV = SV.at[0:3, 0:3].set(top)
+    for k in range(3, 6):
+        SV = SV.at[k, k].set(jnp.where(CV[k, k] > 1., 1. / CV[k, k], 0.))
+    return SV
+
+
+@partial(jax.jit, static_argnums=(4,))
+def response(m: DeviceMaterial, state, deps, CV, maxit=50):
+    """Batched return map over element states — the TPU hot kernel.
+
+    state = (sig (N,6), epl (N,6)); deps (N,6); CV (6,6).
+    Mirrors the host ``Material.response_batch`` control flow with masked
+    lanes: elastic predictor, step split at the yield locus, one trial step
+    deciding subdivision, then ``maxit`` masked substeps with excess-stress
+    correction.  Returns (fy1, sig, depl, grad_stiff).
+    """
+    sig0, epl0 = state
+    N = sig0.shape[0]
+    dt = sig0.dtype
+    peeq0 = jt.eps_eq(epl0)
+    toler = yf_tolerance * (m.sy + peeq0 * m.khard)
+    dsig = deps @ CV.T
+    fy_pred = yf_dist(m, sig0 + dsig, peeq0)
+    elastic = fy_pred < toler
+
+    # ---- plastic branch (computed for all lanes, masked at the end) ----
+    fy0 = yf(m, sig0, peeq0)
+    split = fy0 < -0.15
+    if m.is_svc:
+        fy0_d = ml_yf_dist(m, sig0, jnp.zeros(N, dt))
+        fy0 = jnp.where(split, fy0_d, fy0)
+    seq_dsig = seq_hill(m, dsig) if not m.is_svc else jt.seq_j2_voigt(dsig)
+    st_scal = jnp.where(split, 1. + fy0 / seq_dsig, 1.)
+    deps_el = deps * (1. - st_scal)[:, None]
+    sig = sig0 + deps_el @ CV.T
+    grad = jnp.where(split[:, None, None],
+                     CV[None] * (1. - st_scal)[:, None, None], 0.)
+    deps_r = deps - deps_el
+
+    # trial with full remaining step -> subdivide?
+    ddepl_t = epl_dot(m, sig, peeq0, CV, deps_r)
+    t_st_t = c_tan(m, sig, CV)
+    peeq_t = jt.eps_eq(epl0 + ddepl_t)
+    sig_t = sig + jnp.einsum('nij,nj->ni', t_st_t, deps_r)
+    fy_t = yf_dist(m, sig_t, peeq_t)
+    sub = fy_t > toler
+    deps_r = jnp.where(sub[:, None], deps_r / maxit, deps_r)
+    nsteps = jnp.where(sub, maxit, 1)
+
+    SV = _compliance(CV)
+
+    def body(it, carry):
+        sig, depl, grad, fy = carry
+        act = it < nsteps
+        peeq = jt.eps_eq(epl0)
+        ddepl = epl_dot(m, sig, peeq, CV, deps_r)
+        t_st = c_tan(m, sig, CV)
+        eplt = epl0 + depl + ddepl
+        sig_n = sig + jnp.einsum('nij,nj->ni', t_st, deps_r)
+        fy_n = yf_dist(m, sig_n, jt.eps_eq(eplt))
+        over = fy_n > toler
+        seq_n = seq_hill(m, sig_n) if not m.is_svc else jt.seq_j2_voigt(sig_n)
+        seq_n = jnp.where(seq_n == 0., 1., seq_n)
+        dsig_x = jnp.where(over[:, None], sig_n * (fy_n / seq_n)[:, None], 0.)
+        sig_c = sig_n - dsig_x
+        ddepl_c = ddepl + dsig_x @ SV.T
+        # min-norm tangent correction: solve (A A^T) y = b, x = A^T y with
+        # A the (3,6) strain-projection matrix of deps_r (normal components)
+        d = deps_r[:, 0:3]
+        s2 = jnp.sum(d * d, axis=-1)
+        # G = A A^T = s2 * I + d_i d_j off-diagonal (A includes the shear
+        # columns, which contribute d_k^2 to every diagonal entry)
+        eye3 = jnp.eye(3, dtype=dt)[None]
+        outer = d[:, :, None] * d[:, None, :]
+        G = outer * (1. - eye3) + s2[:, None, None] * eye3
+        Gsafe = G + eye3 * jnp.where(s2 < 1e-30, 1., 0.)[:, None, None]
+        yv = jnp.linalg.solve(Gsafe, dsig_x[:, 0:3])
+        yv = jnp.where((s2 > 1e-30)[:, None], yv, 0.)
+        # x = A^T y: x0=d0*y0, x1=d1*y1, x2=d2*y2, x3=d2*y1+d1*y2,
+        # x4=d2*y0+d0*y2, x5=d1*y0+d0*y1
+        x0 = d[:, 0] * yv[:, 0]
+        x1 = d[:, 1] * yv[:, 1]
+        x2 = d[:, 2] * yv[:, 2]
+        x3 = d[:, 2] * yv[:, 1] + d[:, 1] * yv[:, 2]
+        x4 = d[:, 2] * yv[:, 0] + d[:, 0] * yv[:, 2]
+        x5 = d[:, 1] * yv[:, 0] + d[:, 0] * yv[:, 1]
+        Ct = jnp.zeros((N, 6, 6), dt)
+        Ct = Ct.at[:, 0, 0].set(x0).at[:, 1, 1].set(x1).at[:, 2, 2].set(x2)
+        Ct = Ct.at[:, 0, 1].set(x5).at[:, 1, 0].set(x5)
+        Ct = Ct.at[:, 0, 2].set(x4).at[:, 2, 0].set(x4)
+        Ct = Ct.at[:, 1, 2].set(x3).at[:, 2, 1].set(x3)
+        t_st_c = t_st - jnp.where(over[:, None, None], Ct, 0.)
+        eplt_c = epl0 + depl + ddepl_c
+        fy_c = yf_dist(m, sig_c, jt.eps_eq(eplt_c))
+        sig_new = jnp.where(over[:, None], sig_c, sig_n)
+        ddepl_new = jnp.where(over[:, None], ddepl_c, ddepl)
+        fy_new = jnp.where(over, fy_c, fy_n)
+        grad_new = grad + t_st_c * (st_scal / nsteps)[:, None, None]
+        # freeze inactive lanes
+        sig = jnp.where(act[:, None], sig_new, sig)
+        depl = depl + jnp.where(act[:, None], ddepl_new, 0.)
+        grad = jnp.where(act[:, None, None], grad_new, grad)
+        fy = jnp.where(act, fy_new, fy)
+        return sig, depl, grad, fy
+
+    init = (sig, jnp.zeros_like(sig), grad, fy_t)
+    sig_p, depl_p, grad_p, fy_p = jax.lax.fori_loop(0, maxit, body, init)
+
+    # merge elastic and plastic lanes
+    sig_out = jnp.where(elastic[:, None], sig0 + dsig, sig_p)
+    depl_out = jnp.where(elastic[:, None], 0., depl_p)
+    grad_out = jnp.where(elastic[:, None, None], CV[None], grad_p)
+    fy_out = jnp.where(elastic, fy_pred, fy_p)
+    return fy_out, sig_out, depl_out, grad_out

@@ -1,0 +1,276 @@
+"""Device FE kernels: batched element stiffness, matrix-free K-apply,
+Jacobi-preconditioned CG, and the jitted load-step solver.
+
+This is the performance profile of the FE layer.  Where the host solver
+(``pylabfea_tpu.femodel``) assembles a dense K and LU-factorizes it per
+iteration (matching the reference contract), the device solver never forms
+K: the operator is ``v -> gather -> per-element Ke @ v_e -> scatter-add``,
+evaluated as one batched einsum that XLA tiles onto the MXU, and the linear
+system is solved by conjugate gradients under ``lax.while_loop``.
+Displacement BCs are imposed by masking (identity rows on fixed dofs).
+
+Meshes are structured quads built directly as arrays (`rect_mesh`) — no
+Python per-element objects — so 10^6-element models are cheap to construct.
+The multi-device variant (elements sharded over a ``jax.sharding.Mesh``)
+lives in ``pylabfea_tpu.parallel.sharded``.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pylabfea_tpu.ops import constitutive as con
+from pylabfea_tpu.ops import jtensors as jt
+
+
+class MeshData(NamedTuple):
+    """Structured-mesh arrays for the device solver (single material zone
+    per instance; multiple zones = multiple MeshData + summed K-apply)."""
+    dofs: jnp.ndarray        # (Nel, 8) int32 global dof indices
+    B: jnp.ndarray           # (ngp, 6, 8) shared B matrices (uniform elements)
+    Bsum: jnp.ndarray        # (6, 8) wght * sum_g B (element-average strain)
+    jacw: jnp.ndarray        # scalar Jac * wght (uniform elements)
+    vel: jnp.ndarray         # scalar element volume
+    fixed: jnp.ndarray       # (Ndof,) bool displacement-BC mask
+    fixed_val: jnp.ndarray   # (Ndof,) prescribed displacement values (per unit load)
+    force: jnp.ndarray       # (Ndof,) external force pattern (per unit load)
+    ndof: int                # static
+    nel: int                 # static
+
+
+def _quad_B(lx, ly, dtype=np.float64):
+    """B matrices of the bilinear quad at the 4 Gauss points (reference
+    element formulation, model.py:439-501, plane strain)."""
+    cpos = np.sqrt(1. / 3.)
+    Bs = np.zeros((4, 6, 8), dtype=dtype)
+    for i in range(4):
+        sx = (-1) ** int(i / 2)
+        sy = (-1) ** i
+        x = 0.5 * (1. + sx * cpos) * lx
+        y = 0.5 * (1. + sy * cpos) * ly
+        xi1 = 2. * x / lx - 1.
+        xi2 = 2. * y / ly - 1.
+        hxm = 0.125 * (1. - xi1) / ly
+        hym = 0.125 * (1. - xi2) / lx
+        hxp = 0.125 * (1. + xi1) / ly
+        hyp = 0.125 * (1. + xi2) / lx
+        B = Bs[i]
+        B[0, 0] = -hym
+        B[0, 2] = -hyp
+        B[0, 4] = hym
+        B[0, 6] = hyp
+        B[1, 1] = -hxm
+        B[1, 3] = hxm
+        B[1, 5] = -hxp
+        B[1, 7] = hxp
+        B[5, 0] = -hxm
+        B[5, 1] = -hym
+        B[5, 2] = hxm
+        B[5, 3] = -hyp
+        B[5, 4] = -hxp
+        B[5, 5] = hym
+        B[5, 6] = hxp
+        B[5, 7] = hyp
+    return Bs
+
+
+def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
+              dtype=jnp.float32):
+    """Structured NX x NY quad mesh with uniaxial-displacement BCs:
+    left fixed in x, bottom fixed in y, top pulled in +y (if uniax='y') or
+    right pulled in +x.  Returns MeshData; `fixed_val`/`force` are patterns
+    for a unit load factor (scaled to eps_tot * L by the solver)."""
+    nnX, nnY = NX + 1, NY + 1
+    nnode = nnX * nnY
+    ndof = 2 * nnode
+    lx, ly = LX / NX, LY / NY
+    # element -> node connectivity (column-major node numbering as in the
+    # reference structured mesher)
+    ih = np.arange(NX * NY)
+    n1 = (ih // NY) * nnY + ih % NY
+    nodes = np.stack([n1, n1 + 1, n1 + nnY, n1 + nnY + 1], axis=1)
+    dofs = np.stack([nodes * 2 + d for d in range(2)], axis=2).reshape(-1, 8)
+    # node positions
+    jx = np.arange(nnode) // nnY
+    ky = np.arange(nnode) % nnY
+    fixed = np.zeros(ndof, dtype=bool)
+    fixed_val = np.zeros(ndof)
+    # left: ux = 0; bottom: uy = 0
+    fixed[2 * np.where(jx == 0)[0]] = True
+    fixed[2 * np.where(ky == 0)[0] + 1] = True
+    if uniax == 'y':
+        top = np.where(ky == nnY - 1)[0]
+        fixed[2 * top + 1] = True
+        fixed_val[2 * top + 1] = eps_tot * LY
+    else:
+        right = np.where(jx == nnX - 1)[0]
+        fixed[2 * right] = True
+        fixed_val[2 * right] = eps_tot * LX
+    Bs = _quad_B(lx, ly)
+    vel = lx * ly * thick
+    return MeshData(
+        dofs=jnp.asarray(dofs, dtype=jnp.int32),
+        B=jnp.asarray(Bs, dtype=dtype),
+        Bsum=jnp.asarray(Bs.sum(axis=0), dtype=dtype),
+        jacw=jnp.asarray(vel * 4., dtype=dtype),
+        vel=jnp.asarray(vel, dtype=dtype),
+        fixed=jnp.asarray(fixed),
+        fixed_val=jnp.asarray(fixed_val, dtype=dtype),
+        force=jnp.zeros(ndof, dtype=dtype),
+        ndof=ndof, nel=NX * NY)
+
+
+def element_stiffness(md: MeshData, elstiff):
+    """Ke[e] = jacw * sum_g B_g^T C_e B_g  — batched (Nel, 8, 8)."""
+    return md.jacw * jnp.einsum('gai,eab,gbj->eij', md.B, elstiff, md.B,
+                                preferred_element_type=elstiff.dtype)
+
+
+def k_apply(md: MeshData, Ke, v):
+    """Matrix-free K @ v with identity rows on fixed dofs."""
+    vm = jnp.where(md.fixed, 0., v)
+    ue = vm[md.dofs]                                  # gather (Nel, 8)
+    fe = jnp.einsum('eij,ej->ei', Ke, ue,
+                    preferred_element_type=v.dtype)
+    out = jnp.zeros_like(v).at[md.dofs.reshape(-1)].add(fe.reshape(-1))
+    return jnp.where(md.fixed, v, out)
+
+
+def k_diag(md: MeshData, Ke):
+    """Diagonal of K (Jacobi preconditioner), 1 on fixed dofs."""
+    de = jnp.diagonal(Ke, axis1=1, axis2=2)
+    d = jnp.zeros(md.ndof, Ke.dtype).at[md.dofs.reshape(-1)].add(de.reshape(-1))
+    return jnp.where(md.fixed, 1., d)
+
+
+def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
+    """Jacobi-preconditioned conjugate gradients under lax.while_loop."""
+    minv = 1. / diag
+    r = b - apply_fn(x0)
+    z = minv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+
+    def cond(s):
+        x, r, p, rz, it = s
+        return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
+
+    def body(s):
+        x, r, p, rz, it = s
+        Ap = apply_fn(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv * r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    return x
+
+
+def element_deps(md: MeshData, du):
+    """Element-average strain increments from nodal displacement increment."""
+    ue = du[md.dofs]
+    return jnp.einsum('ai,ei->ea', md.Bsum, ue,
+                      preferred_element_type=du.dtype)
+
+
+class SolverState(NamedTuple):
+    u: jnp.ndarray           # (Ndof,)
+    sig: jnp.ndarray         # (Nel, 6)
+    epl: jnp.ndarray         # (Nel, 6)
+    eps: jnp.ndarray         # (Nel, 6)
+    elstiff: jnp.ndarray     # (Nel, 6, 6)
+
+
+def init_state(md: MeshData, CV, dtype=jnp.float32):
+    CV = jnp.asarray(CV, dtype=dtype)
+    return SolverState(
+        u=jnp.zeros(md.ndof, dtype=dtype),
+        sig=jnp.zeros((md.nel, 6), dtype=dtype),
+        epl=jnp.zeros((md.nel, 6), dtype=dtype),
+        eps=jnp.zeros((md.nel, 6), dtype=dtype),
+        elstiff=jnp.broadcast_to(CV, (md.nel, 6, 6)))
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
+              CV, load_frac, n_inner=3, cg_tol=1.e-8, cg_maxiter=2000):
+    """One incremental load step of the device solver.
+
+    Elastic predictor + ``n_inner`` fixed equilibrium iterations: solve the
+    linear system with the current tangent stiffness field (CG, matrix-free),
+    evaluate the batched return map, update element tangents where they
+    changed, re-solve.  Fixed trip count keeps the whole step one XLA
+    program; the host outer loop controls load stepping.
+
+    Returns (new_state, diagnostics dict).
+    """
+    CV = jnp.asarray(CV, dtype=state.u.dtype)
+    bc_val = md.fixed_val * load_frac
+
+    def solve_with(elstiff, u):
+        Ke = element_stiffness(md, elstiff)
+        # rhs: prescribed displacement increment enters as -K @ du_bc
+        du_bc = jnp.where(md.fixed, bc_val, 0.)
+        vm = du_bc[md.dofs]
+        fe = jnp.einsum('eij,ej->ei', Ke, vm,
+                        preferred_element_type=u.dtype)
+        rhs = -jnp.zeros_like(u).at[md.dofs.reshape(-1)].add(fe.reshape(-1))
+        rhs = jnp.where(md.fixed, bc_val, rhs + md.force * load_frac)
+        du = cg_solve(lambda v: k_apply(md, Ke, v), rhs,
+                      jnp.where(md.fixed, bc_val, 0.), k_diag(md, Ke),
+                      tol=cg_tol, maxiter=cg_maxiter)
+        return du, Ke
+
+    du, Ke = solve_with(state.elstiff, state.u)
+    elstiff = state.elstiff
+    fy = jnp.zeros(md.nel, dtype=state.u.dtype)
+    res_sig = state.sig
+    res_depl = jnp.zeros_like(state.sig)
+
+    def inner(carry, _):
+        du, elstiff, fy, res_sig, res_depl = carry
+        deps = element_deps(md, du)
+        fy, sig_n, depl_n, grad = con.response(mat, (state.sig, state.epl),
+                                               deps, CV)
+        dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
+        elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
+        du, _ = solve_with(elstiff, state.u)
+        return (du, elstiff, fy, sig_n, depl_n), dst.max()
+
+    (du, elstiff, fy, res_sig, res_depl), dst_hist = jax.lax.scan(
+        inner, (du, elstiff, fy, res_sig, res_depl), None, length=n_inner)
+
+    deps = element_deps(md, du)
+    u_new = state.u + du
+    eps_new = state.eps + deps
+    new = SolverState(u=u_new, sig=res_sig, epl=state.epl + res_depl,
+                      eps=eps_new, elstiff=elstiff)
+    # homogenized element averages (volume-weighted; uniform elements)
+    glob_sig = jnp.mean(res_sig, axis=0)
+    glob_eps = jnp.mean(eps_new, axis=0)
+    glob_epl = jnp.mean(new.epl, axis=0)
+    diag = {'fy_max': fy.max(), 'dstiff': dst_hist,
+            'glob_sig': glob_sig, 'glob_eps': glob_eps, 'glob_epl': glob_epl}
+    return new, diag
+
+
+def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
+                   n_inner=3, dtype=jnp.float32, cg_tol=1.e-8,
+                   cg_maxiter=2000):
+    """Host outer loop: apply the boundary displacement in ``nsteps`` equal
+    increments; returns (final state, per-step global stress/strain)."""
+    state = init_state(md, CV, dtype=dtype)
+    hist = []
+    for _ in range(nsteps):
+        state, diag = load_step(md, state, mat, CV, 1. / nsteps,
+                                n_inner=n_inner, cg_tol=cg_tol,
+                                cg_maxiter=cg_maxiter)
+        hist.append((diag['glob_sig'], diag['glob_eps'], diag['glob_epl']))
+    return state, hist

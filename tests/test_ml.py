@@ -1,0 +1,116 @@
+"""ML yield-function regression tests.
+
+Golden values are the reference numerical contract
+(pyLabFEA v4.4.2, tests/test_ml.py).
+"""
+import numpy as np
+import pytest
+
+import pylabfea_tpu as FE
+
+
+def test_ml_plasticity():
+    E, nu, sy = 200.e3, 0.3, 150.
+    mat_h = FE.Material(name='anisotropic Hill')
+    mat_h.elasticity(E=E, nu=nu)
+    mat_h.plasticity(sy=sy, hill=[0.7, 1., 1.4], drucker=0., khard=0., sdim=3)
+    mat_ml = FE.Material(name='ML flow rule')
+    mat_ml.elasticity(E=E, nu=nu)
+    mat_ml.plasticity(sy=sy, sdim=3)
+    x_train, y_train = mat_ml.create_sig_data(36, mat_ref=mat_h, extend=True)
+    mat_ml.setup_yf_SVM_3D(x_train, y_train, C=10, gamma=4., fs=0.3)
+    mat_ml.calc_properties(eps=0.01, sigeps=True, min_step=12)
+    assert np.abs(mat_ml.propJ2['stx']['ys'] - 149.62302821433968) < 1e-5
+    assert np.abs(mat_ml.propJ2['sty']['seq'][-1] - 157.25971534002542) < 1e-5
+    assert np.abs(mat_ml.propJ2['ect']['peeq'][-1] - 0.00855380746615942) < 1e-7
+
+
+def test_ml_shear():
+    E, nu, sy = 200.e3, 0.3, 150.
+    hill = [1.4, 1., 0.7, 1.2, .8, 1.]
+    mat_h = FE.Material(name='Hill-shear')
+    mat_h.elasticity(E=E, nu=nu)
+    mat_h.plasticity(sy=sy, hill=hill, sdim=6)
+    mat_mlh = FE.Material('Hill-ML')
+    mat_mlh.train_SVC(C=2, gamma=0.5, mat_ref=mat_h, Nseq=4, Nlc=300, Fe=0.7,
+                      Ce=0.95)
+    mat_mlh.dev_only = False
+
+    fem = FE.Model(dim=2, planestress=True)
+    fem.geom([2], LY=2.)
+    fem.assign([mat_mlh])
+    fem.bcbot(0., bctype='disp', bcdir='y')
+    fem.bcbot(0., bctype='disp', bcdir='x')
+    fem.bcleft(0., bctype='force')
+    fem.bcright(0., bctype='force')
+    fem.bctop(0.006 * fem.leny, bctype='disp', bcdir='x')
+    fem.bctop(0., bctype='disp', bcdir='y')
+    fem.mesh(NX=6, NY=3)
+    fem.solve()
+    fem.calc_global()
+    assert np.abs(fem.glob['sig'][5] - 77.53778881971623) < 6e-4
+    assert np.abs(fem.element[3].epl[5] - 0.003942707316047761) < 1e-7
+    assert np.abs(fem.element[3].sig[1] - 43.9060552472426) < 5e-3
+
+
+def test_ml_training():
+    E, nu, sy = 200000., 0.3, 60.
+    mat_J2 = FE.Material(name='J2-reference')
+    mat_J2.elasticity(E=E, nu=nu)
+    mat_J2.plasticity(sy=sy, sdim=6)
+    C, gamma = 15., 2.5
+    mat_ml2 = FE.Material('ML-J2_C15_G25')
+    mat_ml2.dev_only = False
+    mat_ml2.train_SVC(C=C, gamma=gamma, mat_ref=mat_J2, Nlc=150, Nseq=25,
+                      Fe=0.1, Ce=0.99)
+    mat_ml2.calc_properties(verb=False, eps=0.01, sigeps=True)
+
+    X1 = np.random.normal(loc=sy, scale=10, size=50)
+    X2 = np.random.normal(loc=sy - 5, scale=10, size=100)
+    X3 = np.random.normal(loc=sy + 5, scale=10, size=50)
+    X = np.concatenate((X1, X2, X3))
+    sunittest = FE.load_cases(number_3d=0, number_6d=len(X))
+    sig_test = sunittest * X[:, None]
+    yf_ml = mat_ml2.calc_yf(sig_test)
+    yf_J2 = mat_J2.calc_yf(sig_test)
+    mae, precision, accuracy, recall, f1, mcc = \
+        FE.training_score(yf_J2, yf_ml, plot=False)
+    assert mae < 7.
+    assert np.abs(mat_ml2.propJ2['et2']['ys'] - 60.5) < 1.0
+    assert np.abs(mat_ml2.propJ2['ect']['peeq'][-1] - 0.00898749114723422) < 2e-6
+
+
+def test_ml_full_yf_distance():
+    """ML yield distance: a stress scaled to 0.5/1.5 sy must produce a
+    negative/positive distance of the right magnitude."""
+    mat_h = FE.Material(name='J2ref')
+    mat_h.elasticity(E=200.e3, nu=0.3)
+    mat_h.plasticity(sy=100., sdim=6)
+    mat_ml = FE.Material('mlj2')
+    mat_ml.dev_only = False
+    mat_ml.train_SVC(C=10, gamma=2.5, mat_ref=mat_h, Nlc=150, Nseq=10)
+    s_in = np.array([50., 0., 0., 0., 0., 0.])
+    s_out = np.array([150., 0., 0., 0., 0., 0.])
+    yin = mat_ml.ML_full_yf(s_in)
+    yout = mat_ml.ML_full_yf(s_out)
+    assert -60. < yin < -40.
+    assert 40. < yout < 60.
+
+
+def test_export_import_MLparam(tmp_path):
+    """export_MLparam -> from_MLparam roundtrip preserves the decision fct."""
+    mat_h = FE.Material(name='J2ref')
+    mat_h.elasticity(E=200.e3, nu=0.3)
+    mat_h.plasticity(sy=100., sdim=6)
+    mat_ml = FE.Material('mlj2')
+    mat_ml.dev_only = False
+    mat_ml.train_SVC(C=10, gamma=2.5, mat_ref=mat_h, Nlc=60, Nseq=5)
+    mat_ml.export_MLparam('test', file='roundtrip', path=str(tmp_path))
+    # CSV has the UMAT layout: 8 comma-separated floats per line
+    txt = (tmp_path / 'roundtrip-svm.csv').read_text().strip().splitlines()
+    assert all(len(line.split(',')) == 8 for line in txt)
+    mat_in = FE.Material('imported')
+    mat_in.from_MLparam('roundtrip', path=str(tmp_path))
+    sig = FE.load_cases(0, 40) * 95.
+    np.testing.assert_allclose(mat_in.calc_yf(sig), mat_ml.calc_yf(sig),
+                               atol=1e-10)
