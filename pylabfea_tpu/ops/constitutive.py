@@ -26,9 +26,9 @@ from pylabfea_tpu.ops import jtensors as jt
 class DeviceMaterial(NamedTuple):
     """Pytree of material parameters for the device kernels.
 
-    For analytic materials (`is_svc == 0`) the SVC fields hold dummy
-    (1, 6)/(1,) arrays; branchless evaluation keys off `is_svc` as a static
-    Python bool captured at trace time.
+    For analytic materials the SVC fields hold dummy (1, 6)/(1,) arrays.
+    ``is_svc`` is static pytree metadata (aux data), so jitted kernels
+    specialize per material kind at trace time.
     """
     hill: jnp.ndarray        # (6,)
     sy: jnp.ndarray          # scalar
@@ -39,7 +39,18 @@ class DeviceMaterial(NamedTuple):
     rho: jnp.ndarray         # scalar intercept
     gamma: jnp.ndarray       # scalar kernel width
     scale_seq: jnp.ndarray   # scalar feature scale
-    is_svc: bool             # static
+    is_svc: bool             # static (aux data, not a traced leaf)
+
+
+def _dm_flatten(m):
+    return (m[:-1], m.is_svc)
+
+
+def _dm_unflatten(aux, children):
+    return DeviceMaterial(*children, is_svc=aux)
+
+
+jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
 
 
 def device_material_from(mat, dtype=jnp.float32):
@@ -277,7 +288,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
         outer = d[:, :, None] * d[:, None, :]
         G = outer * (1. - eye3) + s2[:, None, None] * eye3
         Gsafe = G + eye3 * jnp.where(s2 < 1e-30, 1., 0.)[:, None, None]
-        yv = jnp.linalg.solve(Gsafe, dsig_x[:, 0:3])
+        yv = jnp.linalg.solve(Gsafe, dsig_x[:, 0:3, None]).squeeze(-1)
         yv = jnp.where((s2 > 1e-30)[:, None], yv, 0.)
         # x = A^T y: x0=d0*y0, x1=d1*y1, x2=d2*y2, x3=d2*y1+d1*y2,
         # x4=d2*y0+d0*y2, x5=d1*y0+d0*y1

@@ -36,8 +36,19 @@ class MeshData(NamedTuple):
     fixed: jnp.ndarray       # (Ndof,) bool displacement-BC mask
     fixed_val: jnp.ndarray   # (Ndof,) prescribed displacement values (per unit load)
     force: jnp.ndarray       # (Ndof,) external force pattern (per unit load)
-    ndof: int                # static
-    nel: int                 # static
+    ndof: int                # static (aux data)
+    nel: int                 # static (aux data)
+
+
+def _md_flatten(m):
+    return (m[:-2], (m.ndof, m.nel))
+
+
+def _md_unflatten(aux, children):
+    return MeshData(*children, ndof=aux[0], nel=aux[1])
+
+
+jax.tree_util.register_pytree_node(MeshData, _md_flatten, _md_unflatten)
 
 
 def _quad_B(lx, ly, dtype=np.float64):

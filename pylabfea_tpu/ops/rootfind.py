@@ -121,6 +121,8 @@ def brent_jax(f, xa, xb, xtol=1.e-5, rtol=_RTOL, maxiter=100):
     """
     xa = jnp.asarray(xa)
     xb = jnp.asarray(xb)
+    xtol = jnp.asarray(xtol, dtype=xa.dtype)
+    rtol = jnp.asarray(rtol, dtype=xa.dtype)
     fpre0 = f(xa)
     fcur0 = f(xb)
     bad = fpre0 * fcur0 > 0.

@@ -1,7 +1,9 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 The parity suite runs on CPU in float64; multi-chip sharding tests use the
-8 virtual host devices. Must run before anything imports jax.
+8 virtual host devices.  Note: the runtime environment may pre-import and
+pre-configure jax for an attached TPU (sitecustomize), so the platform must
+be forced via jax.config.update, not env vars alone.
 """
 import os
 import sys
@@ -11,4 +13,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", \
+        "parity test suite must run on CPU devices"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
