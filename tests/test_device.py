@@ -1,0 +1,166 @@
+"""Device-profile tests: jitted kernels vs host parity path, the matrix-free
+CG solver vs the dense host solver, and the multi-chip sharded step on the
+virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import pylabfea_tpu as FE
+from pylabfea_tpu.ops import constitutive as con
+from pylabfea_tpu.ops import fe_kernels as fek
+
+
+@pytest.fixture(scope="module")
+def hill_mat():
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=100., hill=[0.7, 1., 1.4, 1., 1.2, 0.8], khard=100.,
+                   sdim=6)
+    return mat
+
+
+@pytest.fixture(scope="module")
+def svc_mat():
+    mat_ml = FE.Material('mlj2')
+    mat_ml.dev_only = False
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=100., sdim=6)
+    mat_ml.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=60, Nseq=5)
+    return mat_ml
+
+
+def test_device_response_analytic(hill_mat):
+    dm = con.device_material_from(hill_mat, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    CV = hill_mat.CV
+    sig = rng.normal(0., 50., (64, 6))
+    epl = rng.normal(0., 1e-3, (64, 6))
+    deps = rng.normal(0., 2e-3, (64, 6))
+    fy_h, s_h, dp_h, g_h, _ = hill_mat.response_batch(sig, epl, deps, CV)
+    fy_d, s_d, dp_d, g_d = con.response(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV))
+    np.testing.assert_allclose(np.asarray(fy_d), fy_h, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_d), s_h, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dp_d), dp_h, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_d), g_h, atol=1e-6)
+
+
+def test_device_response_svc(svc_mat):
+    dm = con.device_material_from(svc_mat, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    CV = svc_mat.CV
+    sig = rng.normal(0., 40., (32, 6))
+    epl = np.zeros((32, 6))
+    deps = rng.normal(0., 1.5e-3, (32, 6))
+    fy_h, s_h, dp_h, g_h, _ = svc_mat.response_batch(sig, epl, deps, CV)
+    fy_d, s_d, dp_d, g_d = con.response(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV))
+    np.testing.assert_allclose(np.asarray(fy_d), fy_h, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_d), s_h, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dp_d), dp_h, atol=1e-12)
+
+
+def test_device_svc_inference_matches_host(svc_mat):
+    from pylabfea_tpu.ops import svc as svc_ops
+    rng = np.random.default_rng(5)
+    x = rng.normal(0., 1., (50, 6))
+    host = svc_ops.decision_function(svc_mat._svc, x)
+    dev = np.asarray(svc_ops.decision_function_jax(svc_mat._svc, x,
+                                                   dtype=jnp.float64))
+    np.testing.assert_allclose(dev, host, atol=1e-10)
+    gh = svc_ops.decision_gradient(svc_mat._svc, x)
+    gd = np.asarray(svc_ops.decision_gradient_jax(svc_mat._svc, x,
+                                                  dtype=jnp.float64))
+    np.testing.assert_allclose(gd, gh, atol=1e-10)
+
+
+def test_device_solver_vs_host_model():
+    """Matrix-free CG device solver tracks the dense host solver on a J2
+    uniaxial tension case (different load stepping -> loose tolerance)."""
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=150., khard=1000., sdim=6)
+    fe = FE.Model(dim=2, planestress=False)
+    fe.geom([4.], LY=4.)
+    fe.assign([mat])
+    fe.bcleft(0.)
+    fe.bcbot(0.)
+    fe.bcright(0., 'force')
+    fe.bctop(0.002 * fe.leny, 'disp')
+    fe.mesh(NX=16, NY=16)
+    fe.solve(min_step=20)
+
+    md = fek.rect_mesh(16, 16, LX=4., LY=4., uniax='y', eps_tot=0.002,
+                       dtype=jnp.float64)
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    state, hist = fek.solve_uniaxial(md, dm, mat.CV, nsteps=20, n_inner=4,
+                                     dtype=jnp.float64)
+    gs, ge, gp = hist[-1]
+    assert abs(gs[1] - fe.glob['sig'][1]) / abs(fe.glob['sig'][1]) < 2e-3
+    assert abs(gp[1] - fe.glob['epl'][1]) / abs(fe.glob['epl'][1]) < 2e-3
+    np.testing.assert_allclose(np.asarray(ge), fe.glob['eps'], atol=1e-6)
+
+
+def test_device_elastic_exactness():
+    """Purely elastic case: CG solution matches the dense solve tightly."""
+    mat = FE.Material()
+    mat.elasticity(E=100.e3, nu=0.3)
+    fe = FE.Model(dim=2, planestress=False)
+    fe.geom([2.], LY=2.)
+    fe.assign([mat])
+    fe.bcleft(0.)
+    fe.bcbot(0.)
+    fe.bcright(0., 'force')
+    fe.bctop(0.001 * fe.leny, 'disp')
+    fe.mesh(NX=8, NY=8)
+    fe.solve()
+
+    md = fek.rect_mesh(8, 8, LX=2., LY=2., uniax='y', eps_tot=0.001,
+                       dtype=jnp.float64)
+    # elastic device material: huge sy so nothing yields
+    m_el = FE.Material()
+    m_el.elasticity(E=100.e3, nu=0.3)
+    m_el.plasticity(sy=1.e9, sdim=6)
+    dm = con.device_material_from(m_el, dtype=jnp.float64)
+    state, hist = fek.solve_uniaxial(md, dm, m_el.CV, nsteps=1, n_inner=1,
+                                     dtype=jnp.float64, cg_tol=1e-12,
+                                     cg_maxiter=5000)
+    gs, ge, gp = hist[-1]
+    np.testing.assert_allclose(np.asarray(gs), fe.glob['sig'],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_multichip_sharded_step_matches_single():
+    """One sharded load step over the 8-device mesh == single-device step."""
+    from pylabfea_tpu.parallel.mesh import (make_mesh, shard_mesh_data,
+                                            shard_state)
+    import __graft_entry__ as g
+    dtype = jnp.float32
+    mat = g._flagship_material(dtype)
+    CV = g._elastic_cv(dtype)
+    md = fek.rect_mesh(16, 4, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                       dtype=dtype)
+    state0 = fek.init_state(md, CV, dtype=dtype)
+    s1, d1 = fek.load_step(md, state0, mat, CV, jnp.asarray(0.5, dtype),
+                           n_inner=2, cg_maxiter=200)
+    mesh = make_mesh(8)
+    md_s = shard_mesh_data(md, mesh)
+    state_s = shard_state(fek.init_state(md_s, CV, dtype=dtype), mesh)
+    s8, d8 = fek.load_step(md_s, state_s, mat, CV, jnp.asarray(0.5, dtype),
+                           n_inner=2, cg_maxiter=200)
+    np.testing.assert_allclose(np.asarray(d8['glob_sig']),
+                               np.asarray(d1['glob_sig']), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out[0])).all()
+    g.dryrun_multichip(8)
