@@ -1,0 +1,326 @@
+// ml_umat.cpp — native SVC-yield-function constitutive kernel.
+//
+// C++ implementation of the machine-learned (RBF-SVC) elastic-plastic
+// constitutive update, with a C ABI whose parameter layout matches the
+// trained-parameter export of Material.export_MLparam (props array, 8 values
+// per CSV line) and the Abaqus UMAT state-variable contract
+// (statev = plastic strain tensor, PEEQ, substep count).  This is the
+// native equivalent of the reference Fortran UMAT (examples/UMAT/ml_umat.f):
+// same props layout, same algorithm family (elastic predictor, bisection
+// yield-onset search along the stress ray, substepped associated flow with
+// consistent tangent), written from scratch.
+//
+// Exported entry points (extern "C"):
+//   mlumat_fsvc        — SVC decision function at a (scaled) feature vector
+//   mlumat_grad_fsvc   — gradient of the decision function w.r.t. stress
+//   mlumat_step        — full constitutive update for one material point
+//                        (standard Voigt component order 11,22,33,23,13,12)
+//   mlumat_step_abaqus — same, Abaqus component order (11,22,33,12,13,23)
+//
+// Build: g++ -O3 -march=native -shared -fPIC ml_umat.cpp -o libmlumat.so
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Params {
+    int nsv;          // number of support vectors
+    int ndof;         // feature dimension (6 for pure stress features)
+    double C11, C12, C44;
+    double rho;       // SVC intercept
+    double gamma;     // RBF kernel width
+    double epc;       // critical plastic strain at yield onset
+    double scale_seq; // stress feature scale
+    double scale_wh;  // work-hardening feature scale
+    double CV[6][6];  // full elastic stiffness
+    bool dev_only;
+    const double* dc; // dual coefficients [nsv]
+    const double* sv; // support vectors [nsv * ndof]
+};
+
+Params parse_props(const double* props) {
+    Params p{};
+    p.nsv = static_cast<int>(props[0] + 0.5);
+    p.ndof = static_cast<int>(props[1] + 0.5);
+    p.C11 = props[2];
+    p.C12 = props[3];
+    p.C44 = props[4];
+    p.rho = props[5];
+    p.gamma = props[6];
+    p.epc = props[7];
+    p.scale_seq = props[8];
+    p.scale_wh = props[9];
+    std::memset(p.CV, 0, sizeof(p.CV));
+    if (props[10] > 0.) {  // full anisotropic CV stored
+        p.CV[0][0] = p.C11;
+        p.CV[1][1] = props[10];
+        p.CV[2][2] = props[11];
+        p.CV[0][1] = p.CV[1][0] = p.C12;
+        p.CV[0][2] = p.CV[2][0] = props[12];
+        p.CV[1][2] = p.CV[2][1] = props[13];
+        p.CV[3][3] = p.C44;
+        p.CV[4][4] = props[14];
+        p.CV[5][5] = props[15];
+    } else {               // cubic from C11/C12/C44
+        for (int i = 0; i < 3; ++i)
+            for (int j = 0; j < 3; ++j)
+                p.CV[i][j] = (i == j) ? p.C11 : p.C12;
+        p.CV[3][3] = p.CV[4][4] = p.CV[5][5] = p.C44;
+    }
+    p.dev_only = props[16] < -0.5;
+    p.dc = props + 29;
+    p.sv = props + 29 + p.nsv;
+    return p;
+}
+
+inline void deviator(const double s[6], double d[6]) {
+    const double pmean = (s[0] + s[1] + s[2]) / 3.0;
+    d[0] = s[0] - pmean;
+    d[1] = s[1] - pmean;
+    d[2] = s[2] - pmean;
+    d[3] = s[3];
+    d[4] = s[4];
+    d[5] = s[5];
+}
+
+inline double seq_j2(const double s[6]) {
+    const double d01 = s[0] - s[1], d12 = s[1] - s[2], d20 = s[2] - s[0];
+    return std::sqrt(0.5 * (d01 * d01 + d12 * d12 + d20 * d20)
+                     + 3.0 * (s[3] * s[3] + s[4] * s[4] + s[5] * s[5]));
+}
+
+inline double eps_eq(const double e[6]) {
+    return std::sqrt(2.0 / 3.0 * (e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
+                     + 0.5 * (e[3] * e[3] + e[4] * e[4] + e[5] * e[5])));
+}
+
+// SVC decision function on the scaled stress features.
+double fsvc(const Params& p, const double sig[6]) {
+    double feat[6];
+    double work[6];
+    const double* s = sig;
+    if (p.dev_only) {
+        deviator(sig, work);
+        s = work;
+    }
+    for (int k = 0; k < 6; ++k) feat[k] = s[k] / p.scale_seq;
+    double acc = p.rho;
+    const int nd = p.ndof < 6 ? p.ndof : 6;
+    for (int i = 0; i < p.nsv; ++i) {
+        const double* v = p.sv + i * p.ndof;
+        double d2 = 0.0;
+        for (int k = 0; k < nd; ++k) {
+            const double h = feat[k] - v[k];
+            d2 += h * h;
+        }
+        // remaining feature dofs (work hardening etc.) enter at zero
+        for (int k = 6; k < p.ndof; ++k) d2 += v[k] * v[k];
+        acc += p.dc[i] * std::exp(-p.gamma * d2);
+    }
+    return acc;
+}
+
+// Gradient of the decision function w.r.t. (unscaled) stress.
+void grad_fsvc(const Params& p, const double sig[6], double grad[6]) {
+    double feat[6];
+    double work[6];
+    const double* s = sig;
+    if (p.dev_only) {
+        deviator(sig, work);
+        s = work;
+    }
+    for (int k = 0; k < 6; ++k) feat[k] = s[k] / p.scale_seq;
+    double g[6] = {0, 0, 0, 0, 0, 0};
+    const int nd = p.ndof < 6 ? p.ndof : 6;
+    for (int i = 0; i < p.nsv; ++i) {
+        const double* v = p.sv + i * p.ndof;
+        double d2 = 0.0;
+        double h[6];
+        for (int k = 0; k < nd; ++k) {
+            h[k] = feat[k] - v[k];
+            d2 += h[k] * h[k];
+        }
+        for (int k = 6; k < p.ndof; ++k) d2 += v[k] * v[k];
+        const double w = p.dc[i] * std::exp(-p.gamma * d2);
+        for (int k = 0; k < nd; ++k) g[k] += w * (-2.0 * p.gamma) * h[k];
+    }
+    for (int k = 0; k < 6; ++k) grad[k] = g[k] / p.scale_seq;
+}
+
+// Bisection along the ray t * su for the yield onset (fsvc(t su) = 0).
+double find_root(const Params& p, const double su[6], double t0, double t1,
+                 int maxiter = 80, double xtol = 1e-6) {
+    double s[6];
+    auto f = [&](double t) {
+        for (int k = 0; k < 6; ++k) s[k] = t * su[k];
+        return fsvc(p, s);
+    };
+    double f0 = f(t0);
+    double f1 = f(t1);
+    int guard = 0;
+    while (f0 > 0. && t0 > 1e-8 && guard++ < 200) { t0 *= 0.95; f0 = f(t0); }
+    guard = 0;
+    while (f1 < 0. && guard++ < 200) { t1 *= 1.05; f1 = f(t1); }
+    if (f0 * f1 > 0.) return 0.5 * (t0 + t1);
+    for (int it = 0; it < maxiter && (t1 - t0) > xtol; ++it) {
+        const double tm = 0.5 * (t0 + t1);
+        const double fm = f(tm);
+        if (fm * f0 <= 0.) { t1 = tm; f1 = fm; }
+        else { t0 = tm; f0 = fm; }
+    }
+    return 0.5 * (t0 + t1);
+}
+
+inline void matvec6(const double A[6][6], const double x[6], double y[6]) {
+    for (int i = 0; i < 6; ++i) {
+        double acc = 0.0;
+        for (int j = 0; j < 6; ++j) acc += A[i][j] * x[j];
+        y[i] = acc;
+    }
+}
+
+// Associated flow + consistent tangent for one substep.
+void flow_step(const Params& p, double sig[6], double epl[6],
+               const double deps[6], double ddsdde[6][6], double khard) {
+    double a[6];
+    grad_fsvc(p, sig, a);
+    double ca[6];
+    matvec6(p.CV, a, ca);
+    double aCa = 0.0, aCde = 0.0;
+    for (int k = 0; k < 6; ++k) {
+        aCa += ca[k] * a[k];
+        aCde += ca[k] * deps[k];
+    }
+    const double denom = aCa + khard;
+    const double lam = denom > 1e-12 ? aCde / denom : 0.0;
+    // tangent Ct = C - (Ca (x) Ca) / denom
+    for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j)
+            ddsdde[i][j] = p.CV[i][j] - (denom > 1e-12
+                           ? ca[i] * ca[j] / denom : 0.0);
+    double dsig[6];
+    matvec6(*reinterpret_cast<const double(*)[6][6]>(&ddsdde[0][0]), deps, dsig);
+    for (int k = 0; k < 6; ++k) {
+        sig[k] += dsig[k];
+        epl[k] += lam * a[k];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+double mlumat_fsvc(const double* props, const double* sig) {
+    const Params p = parse_props(props);
+    return fsvc(p, sig);
+}
+
+void mlumat_grad_fsvc(const double* props, const double* sig, double* grad) {
+    const Params p = parse_props(props);
+    grad_fsvc(p, sig, grad);
+}
+
+// Full constitutive update for one material point, standard Voigt order.
+//   stress[6]   in/out: stress at start/end of increment
+//   statev[14]  in/out: plastic strain (6), PEEQ, nsubsteps, 6 spare
+//   dstran[6]   strain increment
+//   ddsdde[36]  out: consistent tangent (row-major 6x6)
+// Returns the yield function value at the end of the increment.
+double mlumat_step(const double* props, double* stress, double* statev,
+                   const double* dstran, double* ddsdde, int max_substeps) {
+    const Params p = parse_props(props);
+    double sig[6], epl[6], deps[6];
+    std::memcpy(sig, stress, sizeof(sig));
+    std::memcpy(epl, statev, sizeof(epl));
+    std::memcpy(deps, dstran, sizeof(deps));
+
+    // elastic predictor
+    double dsig[6];
+    matvec6(p.CV, deps, dsig);
+    double sig_tr[6];
+    for (int k = 0; k < 6; ++k) sig_tr[k] = sig[k] + dsig[k];
+    const double fy_tr = fsvc(p, sig_tr);
+    double (*D)[6] = reinterpret_cast<double(*)[6]>(ddsdde);
+
+    if (fy_tr < 0.) {  // purely elastic
+        std::memcpy(stress, sig_tr, sizeof(sig_tr));
+        for (int i = 0; i < 6; ++i)
+            for (int j = 0; j < 6; ++j) D[i][j] = p.CV[i][j];
+        statev[7] = 0.;
+        return fy_tr;
+    }
+
+    // split the increment at the yield onset (bisection along the stress ray)
+    double el_frac = 0.0;
+    if (fsvc(p, sig) < -1e-3) {
+        const double seq0 = seq_j2(sig);
+        const double seq1 = seq_j2(sig_tr);
+        if (seq1 > seq0 + 1e-12) {
+            double su[6];
+            const double inv = 1.0 / seq1;
+            for (int k = 0; k < 6; ++k) su[k] = sig_tr[k] * inv;
+            const double t_y = find_root(p, su, seq0 * 0.5, seq1);
+            el_frac = (t_y - seq0) / (seq1 - seq0);
+            if (el_frac < 0.) el_frac = 0.;
+            if (el_frac > 1.) el_frac = 1.;
+        }
+        for (int k = 0; k < 6; ++k) sig[k] += el_frac * dsig[k];
+    }
+
+    // substepped plastic update over the remaining strain
+    const int nsub = max_substeps > 0 ? max_substeps : 20;
+    double deps_r[6];
+    for (int k = 0; k < 6; ++k)
+        deps_r[k] = deps[k] * (1.0 - el_frac) / nsub;
+    double fy = fy_tr;
+    for (int it = 0; it < nsub; ++it) {
+        flow_step(p, sig, epl, deps_r, D, 0.0);
+        fy = fsvc(p, sig);
+        if (fy > 0.) {
+            // relax the stress radially back to the locus
+            const double seq = seq_j2(sig);
+            if (seq > 1e-8) {
+                double su[6];
+                for (int k = 0; k < 6; ++k) su[k] = sig[k] / seq;
+                const double t_y = find_root(p, su, 0.5 * seq, seq);
+                for (int k = 0; k < 6; ++k) sig[k] = su[k] * t_y;
+                fy = fsvc(p, sig);
+            }
+        }
+    }
+    std::memcpy(stress, sig, 6 * sizeof(double));
+    std::memcpy(statev, epl, 6 * sizeof(double));
+    statev[6] = eps_eq(epl);
+    statev[7] = static_cast<double>(nsub);
+    return fy;
+}
+
+// Abaqus component convention (11,22,33,12,13,23): swap entries 3 <-> 5 on
+// the way in and out (the reference UMAT does the same swap,
+// ml_umat.f:157-174).
+double mlumat_step_abaqus(const double* props, double* stress, double* statev,
+                          const double* dstran, double* ddsdde,
+                          int max_substeps) {
+    auto swap_in = [](const double* src, double* dst) {
+        dst[0] = src[0]; dst[1] = src[1]; dst[2] = src[2];
+        dst[3] = src[5]; dst[4] = src[4]; dst[5] = src[3];
+    };
+    double s[6], de[6], sv[14], dd[36];
+    swap_in(stress, s);
+    swap_in(dstran, de);
+    std::memcpy(sv, statev, sizeof(sv));
+    std::swap(sv[3], sv[5]);
+    const double fy = mlumat_step(props, s, sv, de, dd, max_substeps);
+    swap_in(s, stress);
+    std::swap(sv[3], sv[5]);
+    std::memcpy(statev, sv, sizeof(sv));
+    // remap tangent rows/cols 3 <-> 5
+    const int map[6] = {0, 1, 2, 5, 4, 3};
+    for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j)
+            ddsdde[i * 6 + j] = dd[map[i] * 6 + map[j]];
+    return fy;
+}
+
+}  // extern "C"

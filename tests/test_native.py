@@ -1,0 +1,88 @@
+"""Native (C++) SVC constitutive kernel: consistency against the Python
+host material through the exported UMAT parameter contract."""
+import numpy as np
+import pytest
+
+import pylabfea_tpu as FE
+from pylabfea_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    path = tmp_path_factory.mktemp("umat")
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=100., sdim=6)
+    mat = FE.Material('mlj2')
+    mat.dev_only = False
+    mat.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=60, Nseq=5)
+    mat.export_MLparam('test', file='native', path=str(path))
+    return mat, str(path / 'native-svm.csv')
+
+
+def test_native_builds(exported):
+    _, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    assert nm.props[0] > 0
+
+
+def test_fsvc_matches_python(exported):
+    mat, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        sig = rng.normal(0., 60., 6)
+        f_py = mat.calc_yf(sig)
+        f_cc = nm.fsvc(sig)
+        assert abs(f_py - f_cc) < 1e-10, (f_py, f_cc)
+
+
+def test_grad_matches_python(exported):
+    mat, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    rng = np.random.default_rng(4)
+    sig = rng.normal(0., 60., (10, 6))
+    g_py = mat.calc_fgrad(sig)
+    for i in range(10):
+        g_cc = nm.grad_fsvc(sig[i])
+        np.testing.assert_allclose(g_cc, g_py[i], atol=1e-12)
+
+
+def test_step_elastic(exported):
+    mat, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    stress = np.zeros(6)
+    statev = np.zeros(14)
+    dstran = np.array([1e-4, -0.3e-4, -0.3e-4, 0., 0., 0.])
+    fy, s, sv, dd = nm.step(stress, statev, dstran)
+    assert fy < 0.
+    np.testing.assert_allclose(s, mat.CV @ dstran, rtol=1e-12)
+    np.testing.assert_allclose(dd, mat.CV, rtol=1e-12)
+
+
+def test_step_plastic(exported):
+    """Drive well into the plastic regime: stress stays near the yield locus
+    and plastic strain accumulates along the flow direction."""
+    mat, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    stress = np.zeros(6)
+    statev = np.zeros(14)
+    deps = np.array([1e-4, -0.3e-4, -0.3e-4, 0., 0., 0.])
+    for _ in range(20):
+        fy, stress, statev, dd = nm.step(stress, statev, deps)
+    seq = FE.sig_eq_j2(stress)
+    assert 80. < seq < 120.          # pinned near sy = 100
+    assert statev[6] > 1e-4          # PEEQ accumulated
+    assert statev[0] > 0.            # tensile plastic strain in x
+
+
+def test_step_abaqus_convention(exported):
+    """Abaqus component order must give the component-swapped result."""
+    mat, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    deps_std = np.array([1e-4, -0.3e-4, -0.3e-4, 2e-5, 1e-5, 3e-5])
+    deps_abq = deps_std[[0, 1, 2, 5, 4, 3]]
+    f1, s1, v1, d1 = nm.step(np.zeros(6), np.zeros(14), deps_std)
+    f2, s2, v2, d2 = nm.step(np.zeros(6), np.zeros(14), deps_abq, abaqus=True)
+    np.testing.assert_allclose(s2[[0, 1, 2, 5, 4, 3]], s1, atol=1e-12)
+    assert abs(f1 - f2) < 1e-12
