@@ -326,3 +326,77 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     grad_out = jnp.where(elastic[:, None, None], CV[None], grad_p)
     fy_out = jnp.where(elastic, fy_pred, fy_p)
     return fy_out, sig_out, depl_out, grad_out
+
+
+@partial(jax.jit, static_argnums=(4,))
+def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12):
+    """Production return map — cutting-plane closest-point projection.
+
+    Instead of translating the reference's substepped update (50 masked
+    substeps, each with a bracket-march + Brent yield-locus search — see
+    ``response``), this integrates the same constitutive model with the
+    standard cutting-plane algorithm (Simo & Hughes, Computational
+    Inelasticity, alg. 3.5.2): elastic predictor, then Newton iterations
+    lam_k = f_k / (a_k^T C a_k + khard) that return the stress to the yield
+    surface along the flow direction.  ~6-12 yield-function/gradient
+    evaluations per point instead of thousands — this is the speed-of-light
+    formulation for the MXU.
+
+    Returns (f_end, sig, depl, algorithmic tangent).
+    """
+    sig0, epl0 = state
+    peeq0 = jt.eps_eq(epl0)
+    # analytic yf is in stress units, the SVC decision fct is dimensionless
+    if m.is_svc:
+        toler = jnp.full_like(peeq0, yf_tolerance)
+    else:
+        toler = yf_tolerance * (m.sy + peeq0 * m.khard)
+    sig_tr = sig0 + deps @ CV.T
+    f_tr = yf(m, sig_tr, peeq0)
+    plastic = f_tr > toler
+
+    # trust region: cap the per-iteration stress correction so lanes whose
+    # trial state lands outside the SVC training band (flat decision surface,
+    # vanishing gradient) walk back stably instead of overshooting
+    cap = 0.1 * m.scale_seq
+
+    def body(s):
+        sig, depl, it, _ = s
+        peeq = jt.eps_eq(epl0 + depl)
+        f = yf(m, sig, peeq)
+        a = fgrad(m, sig)
+        ca = a @ CV.T
+        denom = jnp.sum(ca * a, axis=-1) + m.khard
+        denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
+        # bidirectional Newton on the yield surface along the flow direction:
+        # overshoot inside the locus (f < 0) is pulled back out
+        lam = jnp.where(plastic & (jnp.abs(f) > toler), f / denom, 0.)
+        # for SVC materials f is dimensionless -> lam carries stress units
+        # through a; the update is identical in both cases.
+        dsig_norm = jnp.abs(lam) * jnp.linalg.norm(ca, axis=-1)
+        scale = jnp.where(dsig_norm > cap, cap / jnp.where(
+            dsig_norm == 0., 1., dsig_norm), 1.)
+        lam = lam * scale
+        sig = sig - lam[:, None] * ca
+        depl = depl + lam[:, None] * a
+        return sig, depl, it + 1, f
+
+    def cond(s):
+        sig, depl, it, f = s
+        active = plastic & (jnp.abs(f) > toler)
+        return active.any() & (it < maxiter)
+
+    z = jnp.zeros_like(sig0)
+    sig, depl, _, _ = jax.lax.while_loop(
+        cond, body, (sig_tr, z, 0, jnp.where(plastic, f_tr, 0.)))
+    f_end = yf(m, sig, jt.eps_eq(epl0 + depl))
+
+    # algorithmic tangent at the returned state (elastic CV where elastic)
+    a = fgrad(m, sig)
+    ca = a @ CV.T
+    denom = jnp.sum(ca * a, axis=-1) + m.khard
+    Ct = CV[None] - ca[:, :, None] * ca[:, None, :] / denom[:, None, None]
+    grad = jnp.where(plastic[:, None, None], Ct, CV[None])
+    sig_out = jnp.where(plastic[:, None], sig, sig_tr)
+    depl_out = jnp.where(plastic[:, None], depl, 0.)
+    return f_end, sig_out, depl_out, grad

@@ -209,9 +209,10 @@ def init_state(md: MeshData, CV, dtype=jnp.float32):
         elstiff=jnp.broadcast_to(CV, (md.nel, 6, 6)))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
-              CV, load_frac, n_inner=3, cg_tol=1.e-8, cg_maxiter=2000):
+              CV, load_frac, n_inner=3, cg_tol=1.e-8, cg_maxiter=2000,
+              fast=True):
     """One incremental load step of the device solver.
 
     Elastic predictor + ``n_inner`` fixed equilibrium iterations: solve the
@@ -248,8 +249,8 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     def inner(carry, _):
         du, elstiff, fy, res_sig, res_depl = carry
         deps = element_deps(md, du)
-        fy, sig_n, depl_n, grad = con.response(mat, (state.sig, state.epl),
-                                               deps, CV)
+        resp = con.response_fast if fast else con.response
+        fy, sig_n, depl_n, grad = resp(mat, (state.sig, state.epl), deps, CV)
         dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
         elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
         du, _ = solve_with(elstiff, state.u)
@@ -274,7 +275,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=1.e-8,
-                   cg_maxiter=2000):
+                   cg_maxiter=2000, fast=True):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
     increments; returns (final state, per-step global stress/strain)."""
     state = init_state(md, CV, dtype=dtype)
@@ -282,6 +283,6 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
     for _ in range(nsteps):
         state, diag = load_step(md, state, mat, CV, 1. / nsteps,
                                 n_inner=n_inner, cg_tol=cg_tol,
-                                cg_maxiter=cg_maxiter)
+                                cg_maxiter=cg_maxiter, fast=fast)
         hist.append((diag['glob_sig'], diag['glob_eps'], diag['glob_epl']))
     return state, hist
