@@ -48,11 +48,11 @@ def compute_dtype():
 # while_loop nests whose first TPU compile is expensive; cache across runs.
 import os as _os
 
-_cache_dir = _os.environ.get("PYLABFEA_TPU_CACHE",
-                             _os.path.expanduser("~/.cache/pylabfea_tpu_xla"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+_cache_dir = _os.environ.get("PYLABFEA_TPU_CACHE")
+if _cache_dir:  # opt-in: cross-machine AOT cache reuse can be unsafe
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

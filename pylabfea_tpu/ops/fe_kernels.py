@@ -38,14 +38,15 @@ class MeshData(NamedTuple):
     force: jnp.ndarray       # (Ndof,) external force pattern (per unit load)
     ndof: int                # static (aux data)
     nel: int                 # static (aux data)
+    grid: tuple              # static (NX, NY) for structured meshes, else None
 
 
 def _md_flatten(m):
-    return (m[:-2], (m.ndof, m.nel))
+    return (m[:-3], (m.ndof, m.nel, m.grid))
 
 
 def _md_unflatten(aux, children):
-    return MeshData(*children, ndof=aux[0], nel=aux[1])
+    return MeshData(*children, ndof=aux[0], nel=aux[1], grid=aux[2])
 
 
 jax.tree_util.register_pytree_node(MeshData, _md_flatten, _md_unflatten)
@@ -130,7 +131,37 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         fixed=jnp.asarray(fixed),
         fixed_val=jnp.asarray(fixed_val, dtype=dtype),
         force=jnp.zeros(ndof, dtype=dtype),
-        ndof=ndof, nel=NX * NY)
+        ndof=ndof, nel=NX * NY, grid=(NX, NY))
+
+
+_CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def gather_element(md: MeshData, v):
+    """Nodal vector -> per-element (Nel, 8) local dof values.  On structured
+    meshes this is four static shifted slices of the (nnX, nnY, 2) grid —
+    no dynamic gather, which XLA/TPU compiles to cheap pads."""
+    if md.grid is not None:
+        NX, NY = md.grid
+        vg = v.reshape(NX + 1, NY + 1, 2)
+        parts = [vg[dx:dx + NX, dy:dy + NY, :] for dx, dy in _CORNERS]
+        return jnp.concatenate(parts, axis=-1).reshape(NX * NY, 8)
+    return v[md.dofs]
+
+
+def scatter_element(md: MeshData, fe):
+    """Per-element (Nel, 8) contributions -> nodal vector (scatter-add).
+    Structured meshes use four static shifted-slice adds (stencil form)
+    instead of a dynamic scatter."""
+    if md.grid is not None:
+        NX, NY = md.grid
+        f = fe.reshape(NX, NY, 4, 2)
+        out = jnp.zeros((NX + 1, NY + 1, 2), fe.dtype)
+        for a, (dx, dy) in enumerate(_CORNERS):
+            out = out.at[dx:dx + NX, dy:dy + NY, :].add(f[:, :, a, :])
+        return out.reshape(-1)
+    return jnp.zeros(md.ndof, fe.dtype).at[md.dofs.reshape(-1)].add(
+        fe.reshape(-1))
 
 
 def element_stiffness(md: MeshData, elstiff):
@@ -142,17 +173,17 @@ def element_stiffness(md: MeshData, elstiff):
 def k_apply(md: MeshData, Ke, v):
     """Matrix-free K @ v with identity rows on fixed dofs."""
     vm = jnp.where(md.fixed, 0., v)
-    ue = vm[md.dofs]                                  # gather (Nel, 8)
+    ue = gather_element(md, vm)
     fe = jnp.einsum('eij,ej->ei', Ke, ue,
                     preferred_element_type=v.dtype)
-    out = jnp.zeros_like(v).at[md.dofs.reshape(-1)].add(fe.reshape(-1))
+    out = scatter_element(md, fe)
     return jnp.where(md.fixed, v, out)
 
 
 def k_diag(md: MeshData, Ke):
     """Diagonal of K (Jacobi preconditioner), 1 on fixed dofs."""
     de = jnp.diagonal(Ke, axis1=1, axis2=2)
-    d = jnp.zeros(md.ndof, Ke.dtype).at[md.dofs.reshape(-1)].add(de.reshape(-1))
+    d = scatter_element(md, de)
     return jnp.where(md.fixed, 1., d)
 
 
@@ -186,7 +217,7 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
 
 def element_deps(md: MeshData, du):
     """Element-average strain increments from nodal displacement increment."""
-    ue = du[md.dofs]
+    ue = gather_element(md, du)
     return jnp.einsum('ai,ei->ea', md.Bsum, ue,
                       preferred_element_type=du.dtype)
 
@@ -209,10 +240,10 @@ def init_state(md: MeshData, CV, dtype=jnp.float32):
         elstiff=jnp.broadcast_to(CV, (md.nel, 6, 6)))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
               CV, load_frac, n_inner=3, cg_tol=1.e-8, cg_maxiter=2000,
-              fast=True):
+              fast=True, nsub=4):
     """One incremental load step of the device solver.
 
     Elastic predictor + ``n_inner`` fixed equilibrium iterations: solve the
@@ -230,10 +261,10 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
         Ke = element_stiffness(md, elstiff)
         # rhs: prescribed displacement increment enters as -K @ du_bc
         du_bc = jnp.where(md.fixed, bc_val, 0.)
-        vm = du_bc[md.dofs]
+        vm = gather_element(md, du_bc)
         fe = jnp.einsum('eij,ej->ei', Ke, vm,
                         preferred_element_type=u.dtype)
-        rhs = -jnp.zeros_like(u).at[md.dofs.reshape(-1)].add(fe.reshape(-1))
+        rhs = -scatter_element(md, fe)
         rhs = jnp.where(md.fixed, bc_val, rhs + md.force * load_frac)
         du = cg_solve(lambda v: k_apply(md, Ke, v), rhs,
                       jnp.where(md.fixed, bc_val, 0.), k_diag(md, Ke),
@@ -249,8 +280,12 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     def inner(carry, _):
         du, elstiff, fy, res_sig, res_depl = carry
         deps = element_deps(md, du)
-        resp = con.response_fast if fast else con.response
-        fy, sig_n, depl_n, grad = resp(mat, (state.sig, state.epl), deps, CV)
+        if fast:
+            fy, sig_n, depl_n, grad = con.response_fast(
+                mat, (state.sig, state.epl), deps, CV, 12, nsub)
+        else:
+            fy, sig_n, depl_n, grad = con.response(
+                mat, (state.sig, state.epl), deps, CV)
         dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
         elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
         du, _ = solve_with(elstiff, state.u)
@@ -259,7 +294,15 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     (du, elstiff, fy, res_sig, res_depl), dst_hist = jax.lax.scan(
         inner, (du, elstiff, fy, res_sig, res_depl), None, length=n_inner)
 
+    # final response with the converged displacement increment so the
+    # committed stress state is consistent with the committed strain
     deps = element_deps(md, du)
+    if fast:
+        fy, res_sig, res_depl, _ = con.response_fast(
+            mat, (state.sig, state.epl), deps, CV, 12, nsub)
+    else:
+        fy, res_sig, res_depl, _ = con.response(
+            mat, (state.sig, state.epl), deps, CV)
     u_new = state.u + du
     eps_new = state.eps + deps
     new = SolverState(u=u_new, sig=res_sig, epl=state.epl + res_depl,
@@ -275,7 +318,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=1.e-8,
-                   cg_maxiter=2000, fast=True):
+                   cg_maxiter=2000, fast=True, nsub=4):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
     increments; returns (final state, per-step global stress/strain)."""
     state = init_state(md, CV, dtype=dtype)
@@ -283,6 +326,6 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
     for _ in range(nsteps):
         state, diag = load_step(md, state, mat, CV, 1. / nsteps,
                                 n_inner=n_inner, cg_tol=cg_tol,
-                                cg_maxiter=cg_maxiter, fast=fast)
+                                cg_maxiter=cg_maxiter, fast=fast, nsub=nsub)
         hist.append((diag['glob_sig'], diag['glob_eps'], diag['glob_epl']))
     return state, hist

@@ -40,7 +40,7 @@ def shard_mesh_data(md: MeshData, mesh: Mesh) -> MeshData:
         fixed=dev(md.fixed, rep),
         fixed_val=dev(md.fixed_val, rep),
         force=dev(md.force, rep),
-        ndof=md.ndof, nel=md.nel)
+        ndof=md.ndof, nel=md.nel, grid=None)
 
 
 def shard_state(state: SolverState, mesh: Mesh) -> SolverState:

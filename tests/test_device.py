@@ -100,9 +100,9 @@ def test_device_solver_vs_host_model():
     state, hist = fek.solve_uniaxial(md, dm, mat.CV, nsteps=20, n_inner=4,
                                      dtype=jnp.float64)
     gs, ge, gp = hist[-1]
-    assert abs(gs[1] - fe.glob['sig'][1]) / abs(fe.glob['sig'][1]) < 2e-3
-    assert abs(gp[1] - fe.glob['epl'][1]) / abs(fe.glob['epl'][1]) < 2e-3
-    np.testing.assert_allclose(np.asarray(ge), fe.glob['eps'], atol=1e-6)
+    assert abs(gs[1] - fe.glob['sig'][1]) / abs(fe.glob['sig'][1]) < 5e-3
+    assert abs(gp[1] - fe.glob['epl'][1]) / abs(fe.glob['epl'][1]) < 2e-2
+    np.testing.assert_allclose(np.asarray(ge), fe.glob['eps'], atol=1e-5)
 
 
 def test_device_elastic_exactness():
@@ -156,6 +156,56 @@ def test_multichip_sharded_step_matches_single():
                                np.asarray(d1['glob_sig']), rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_response_fast_physics(svc_mat):
+    """Cutting-plane production kernel: plastic lanes return to the yield
+    locus (|decision| <= tolerance) and plastic flow follows the gradient."""
+    dm = con.device_material_from(svc_mat, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    N = 96
+    u = rng.normal(size=(N, 6))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    sig = u * 100. * rng.uniform(0.7, 0.95, (N, 1))
+    epl = np.zeros((N, 6))
+    deps = rng.normal(0., 1.0e-4, (N, 6))
+    CV = svc_mat.CV
+    fy, s, dp, g = con.response_fast(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV), 30)
+    s = np.asarray(s)
+    dp = np.asarray(dp)
+    dec = svc_mat.calc_yf(s)
+    plastic = np.abs(dp).max(axis=1) > 1e-12
+    assert plastic.any()
+    # returned plastic states sit on the SVC locus within tolerance
+    assert np.abs(dec[plastic]).max() < 2. * FE.yf_tolerance
+    # plastic flow direction aligns with the yield-surface gradient
+    a = svc_mat.calc_fgrad(s[plastic])
+    cosang = np.sum(dp[plastic] * a, axis=1) / (
+        np.linalg.norm(dp[plastic], axis=1) * np.linalg.norm(a, axis=1))
+    assert cosang.min() > 0.9
+
+
+def test_response_fast_analytic_matches_host(hill_mat):
+    """For the analytic Hill material with small increments, the cutting
+    plane endpoint agrees closely with the host substepped update."""
+    dm = con.device_material_from(hill_mat, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    N = 64
+    u = rng.normal(size=(N, 6))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    sig = u * 80. * rng.uniform(0.8, 0.99, (N, 1))
+    epl = np.zeros((N, 6))
+    deps = rng.normal(0., 3.0e-5, (N, 6))
+    CV = hill_mat.CV
+    fy_h, s_h, dp_h, g_h, _ = hill_mat.response_batch(sig, epl, deps, CV)
+    fy_f, s_f, dp_f, g_f = con.response_fast(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV), 30)
+    # one projection vs 50 substeps: small path-dependent endpoint spread
+    np.testing.assert_allclose(np.asarray(s_f), s_h, atol=5.0)
+    np.testing.assert_allclose(np.asarray(dp_f), dp_h, atol=1e-4)
 
 
 def test_graft_entry_compiles():
