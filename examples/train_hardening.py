@@ -19,7 +19,8 @@ def create_data(mat_ref, Nlc=120, epl_max=0.02, Np=6):
     sig_list, epl_list = [], []
     for peeq in np.linspace(epl_max / Np, epl_max, Np):
         sflow = mat_ref.get_sflow(peeq)
-        x1 = fsolve(mat_ref.find_yloc, np.ones(Nlc) * sflow, args=(su,),
+        ep_t = peeq * np.array([1., -0.5, -0.5, 0., 0., 0.])
+        x1 = fsolve(mat_ref.find_yloc, np.ones(Nlc) * sflow, args=(su, ep_t),
                     xtol=1.e-5)
         sig = su * x1[:, None]
         # associated plastic strain along the J2 flow direction

@@ -211,8 +211,8 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
         p = z + (rz_new / rz) * p
         return x, r, p, rz_new, it + 1
 
-    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    return x
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    return x, jnp.linalg.norm(r) / bnorm, it
 
 
 def element_deps(md: MeshData, du):
@@ -266,12 +266,12 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
                         preferred_element_type=u.dtype)
         rhs = -scatter_element(md, fe)
         rhs = jnp.where(md.fixed, bc_val, rhs + md.force * load_frac)
-        du = cg_solve(lambda v: k_apply(md, Ke, v), rhs,
-                      jnp.where(md.fixed, bc_val, 0.), k_diag(md, Ke),
-                      tol=cg_tol, maxiter=cg_maxiter)
-        return du, Ke
+        du, res, it = cg_solve(lambda v: k_apply(md, Ke, v), rhs,
+                               jnp.where(md.fixed, bc_val, 0.), k_diag(md, Ke),
+                               tol=cg_tol, maxiter=cg_maxiter)
+        return du, Ke, res, it
 
-    du, Ke = solve_with(state.elstiff, state.u)
+    du, Ke, cg_res, cg_it = solve_with(state.elstiff, state.u)
     elstiff = state.elstiff
     fy = jnp.zeros(md.nel, dtype=state.u.dtype)
     res_sig = state.sig
@@ -288,7 +288,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
                 mat, (state.sig, state.epl), deps, CV)
         dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
         elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
-        du, _ = solve_with(elstiff, state.u)
+        du, _, _, _ = solve_with(elstiff, state.u)
         return (du, elstiff, fy, sig_n, depl_n), dst.max()
 
     (du, elstiff, fy, res_sig, res_depl), dst_hist = jax.lax.scan(
@@ -312,6 +312,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     glob_eps = jnp.mean(eps_new, axis=0)
     glob_epl = jnp.mean(new.epl, axis=0)
     diag = {'fy_max': fy.max(), 'dstiff': dst_hist,
+            'cg_res': cg_res, 'cg_iters': cg_it,
             'glob_sig': glob_sig, 'glob_eps': glob_eps, 'glob_epl': glob_epl}
     return new, diag
 
