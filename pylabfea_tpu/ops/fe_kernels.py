@@ -38,7 +38,7 @@ class MeshData(NamedTuple):
     force: jnp.ndarray       # (Ndof,) external force pattern (per unit load)
     ndof: int                # static (aux data)
     nel: int                 # static (aux data)
-    grid: tuple              # static (NX, NY) for structured meshes, else None
+    grid: tuple              # static (NX, NY, lx, ly, uniax) structured info, else None
 
 
 def _md_flatten(m):
@@ -131,7 +131,7 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         fixed=jnp.asarray(fixed),
         fixed_val=jnp.asarray(fixed_val, dtype=dtype),
         force=jnp.zeros(ndof, dtype=dtype),
-        ndof=ndof, nel=NX * NY, grid=(NX, NY))
+        ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax))
 
 
 _CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -142,7 +142,7 @@ def gather_element(md: MeshData, v):
     meshes this is four static shifted slices of the (nnX, nnY, 2) grid —
     no dynamic gather, which XLA/TPU compiles to cheap pads."""
     if md.grid is not None:
-        NX, NY = md.grid
+        NX, NY = md.grid[:2]
         vg = v.reshape(NX + 1, NY + 1, 2)
         parts = [vg[dx:dx + NX, dy:dy + NY, :] for dx, dy in _CORNERS]
         return jnp.concatenate(parts, axis=-1).reshape(NX * NY, 8)
@@ -154,7 +154,7 @@ def scatter_element(md: MeshData, fe):
     Structured meshes use four static shifted-slice adds (stencil form)
     instead of a dynamic scatter."""
     if md.grid is not None:
-        NX, NY = md.grid
+        NX, NY = md.grid[:2]
         f = fe.reshape(NX, NY, 4, 2)
         out = jnp.zeros((NX + 1, NY + 1, 2), fe.dtype)
         for a, (dx, dy) in enumerate(_CORNERS):
@@ -256,8 +256,10 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     """
     CV = jnp.asarray(CV, dtype=state.u.dtype)
     bc_val = md.fixed_val * load_frac
+    use_mg = md.grid is not None
 
     def solve_with(elstiff, u):
+        from pylabfea_tpu.ops import multigrid as mg
         Ke = element_stiffness(md, elstiff)
         # rhs: prescribed displacement increment enters as -K @ du_bc
         du_bc = jnp.where(md.fixed, bc_val, 0.)
@@ -266,9 +268,17 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
                         preferred_element_type=u.dtype)
         rhs = -scatter_element(md, fe)
         rhs = jnp.where(md.fixed, bc_val, rhs + md.force * load_frac)
-        du, res, it = cg_solve(lambda v: k_apply(md, Ke, v), rhs,
-                               jnp.where(md.fixed, bc_val, 0.), k_diag(md, Ke),
-                               tol=cg_tol, maxiter=cg_maxiter)
+        x0 = jnp.where(md.fixed, bc_val, 0.)
+        if use_mg:
+            # geometric-multigrid preconditioned CG: mesh-size-independent
+            # iteration counts on structured grids
+            levels = mg.build_hierarchy(md, elstiff)
+            du, res, it = mg.mg_cg_solve(levels, rhs, x0, tol=cg_tol,
+                                         maxiter=min(cg_maxiter, 100))
+        else:
+            du, res, it = cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0,
+                                   k_diag(md, Ke), tol=cg_tol,
+                                   maxiter=cg_maxiter)
         return du, Ke, res, it
 
     du, Ke, cg_res, cg_it = solve_with(state.elstiff, state.u)
