@@ -66,18 +66,21 @@ def svc_decision_pallas(x, sv, dc, gamma, rho, tile_n=512, interpret=False):
     grid = (Npad // tile_n,)
     mem = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) \
         else {}
-    out = pl.pallas_call(
-        functools.partial(_kernel, gamma=float(gamma)),
-        out_shape=jax.ShapeDtypeStruct((Npad, 1), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_n, fp), lambda i: (i, 0), **mem),
-            pl.BlockSpec((np_pad, fp), lambda i: (0, 0), **mem),
-            pl.BlockSpec((np_pad, 1), lambda i: (0, 0), **mem),
-        ],
-        out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0), **mem),
-        interpret=interpret,
-    )(xT, svT, dcT)
+    # index maps run under x64; Mosaic requires i32 block indices, so wrap
+    # the pallas_call in a 32-bit scope
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel, gamma=float(gamma)),
+            out_shape=jax.ShapeDtypeStruct((Npad, 1), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_n, fp), lambda i: (i, 0), **mem),
+                pl.BlockSpec((np_pad, fp), lambda i: (0, 0), **mem),
+                pl.BlockSpec((np_pad, 1), lambda i: (0, 0), **mem),
+            ],
+            out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0), **mem),
+            interpret=interpret,
+        )(xT, svT, dcT)
     return out[:N, 0] + rho
 
 

@@ -1,0 +1,122 @@
+"""Checkpoint/resume, profiling, and multigrid unit tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pylabfea_tpu as FE
+from pylabfea_tpu.ops import fe_kernels as fek, multigrid as mg, \
+    constitutive as con
+from pylabfea_tpu.utils import checkpoint as ckpt
+from pylabfea_tpu.utils.profiling import StepTimer
+
+
+def _elastic_cv(E=200.e3, nu=0.3):
+    hh = E / ((1. + nu) * (1. - 2. * nu))
+    CV = np.zeros((6, 6))
+    CV[:3, :3] = nu * hh
+    np.fill_diagonal(CV[:3, :3], (1. - nu) * hh)
+    CV[3, 3] = CV[4, 4] = CV[5, 5] = (0.5 - nu) * hh
+    return CV
+
+
+def test_solver_state_checkpoint(tmp_path):
+    md = fek.rect_mesh(8, 8, dtype=jnp.float64)
+    state = fek.init_state(md, _elastic_cv(), dtype=jnp.float64)
+    state = state._replace(u=state.u + 1.5)
+    p = tmp_path / 'state.npz'
+    ckpt.save_state(p, state, meta={'step': 3})
+    loaded, meta = ckpt.load_state(p)
+    assert meta['step'] == 3
+    np.testing.assert_array_equal(np.asarray(loaded.u), np.asarray(state.u))
+    np.testing.assert_array_equal(np.asarray(loaded.elstiff),
+                                  np.asarray(state.elstiff))
+
+
+def test_model_checkpoint_resume(tmp_path):
+    """Checkpoint mid-loading, restore into a fresh model, final states match
+    an uninterrupted run."""
+    def build():
+        mat = FE.Material()
+        mat.elasticity(E=200.e3, nu=0.3)
+        mat.plasticity(sy=150., khard=500., sdim=6)
+        fe = FE.Model(dim=2, planestress=False)
+        fe.geom([2.], LY=2.)
+        fe.assign([mat])
+        fe.bcleft(0.)
+        fe.bcbot(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.002 * fe.leny, 'disp')
+        fe.mesh(NX=4, NY=4)
+        return fe
+
+    # uninterrupted: 0.002 then 0.004
+    fe_a = build()
+    fe_a.solve()
+    fe_a.bctop(0.004 * fe_a.leny, 'disp')
+    fe_a.solve()
+
+    # interrupted: checkpoint after first stage, restore into fresh model
+    fe_b = build()
+    fe_b.solve()
+    p = tmp_path / 'model.npz'
+    ckpt.save_model(p, fe_b, meta={'loaded_to': 0.002})
+    fe_c = build()
+    fe_c.solve()  # populate attributes; state will be overwritten
+    meta = ckpt.load_model(p, fe_c)
+    assert meta['loaded_to'] == 0.002
+    fe_c.bctop(0.004 * fe_c.leny, 'disp')
+    fe_c.solve()
+    np.testing.assert_allclose(fe_c.u, fe_a.u, atol=1e-10)
+    np.testing.assert_allclose(fe_c.element[3].sig, fe_a.element[3].sig,
+                               atol=1e-9)
+
+
+def test_step_timer():
+    t = StepTimer()
+    for k in range(3):
+        with t.step():
+            pass
+        t.note(iters=k + 1)
+    s = t.summary()
+    assert s['steps'] == 3
+    assert s['iters_max'] == 3
+
+
+def test_multigrid_mesh_independent_iterations():
+    """MG-CG iteration count must not grow with mesh refinement."""
+    CV = _elastic_cv()
+    iters = []
+    for N in (16, 32, 64):
+        md = fek.rect_mesh(N, N, LX=1., LY=1., uniax='y', eps_tot=0.001,
+                           dtype=jnp.float64)
+        elstiff = jnp.broadcast_to(jnp.asarray(CV), (md.nel, 6, 6))
+        Ke = fek.element_stiffness(md, elstiff)
+        bc = md.fixed_val
+        vm = fek.gather_element(md, jnp.where(md.fixed, bc, 0.))
+        rhs = jnp.where(md.fixed, bc, -fek.scatter_element(
+            md, jnp.einsum('eij,ej->ei', Ke, vm)))
+        x0 = jnp.where(md.fixed, bc, 0.)
+        levels = mg.build_hierarchy(md, elstiff)
+        x, res, it = mg.mg_cg_solve(levels, rhs, x0, tol=1e-10, maxiter=200)
+        assert float(res) < 1e-9
+        iters.append(int(it))
+        # solution must match plain Jacobi-CG
+        xj, resj, itj = fek.cg_solve(lambda v: fek.k_apply(md, Ke, v), rhs,
+                                     x0, fek.k_diag(md, Ke), tol=1e-12,
+                                     maxiter=20000)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xj), atol=1e-8)
+    assert max(iters) <= iters[0] + 5  # no growth with refinement
+
+
+def test_pallas_interpret_decision():
+    from pylabfea_tpu.ops.pallas_kernels import svc_decision_pallas
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (100, 6)).astype(np.float32)
+    sv = rng.normal(0, 1, (64, 6)).astype(np.float32)
+    dc = rng.normal(0, 1, 64).astype(np.float32)
+    out = np.asarray(svc_decision_pallas(jnp.asarray(x), jnp.asarray(sv),
+                                         jnp.asarray(dc), 2.5, 0.3,
+                                         interpret=True))
+    d2 = ((x[:, None, :] - sv[None, :, :]) ** 2).sum(-1)
+    ref = np.exp(-2.5 * d2) @ dc + 0.3
+    np.testing.assert_allclose(out, ref, atol=1e-5)
