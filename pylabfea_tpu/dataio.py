@@ -19,7 +19,8 @@ import numpy as np
 from scipy.signal import savgol_filter
 from scipy.optimize import minimize
 
-from pylabfea_tpu.core.tensors import sig_eq_j2, eps_eq, sig_polar_ang
+from pylabfea_tpu.core.tensors import sig_eq_j2, eps_eq, sig_polar_ang, \
+    sig_princ2cyl as sig_princ2cyl_single
 
 
 def ln_strain(eng):
@@ -587,6 +588,39 @@ class Data(object):
             plt.legend(loc='upper left')
             plt.show()
             plt.close(fig)
+
+    def plot_yield_locus(self, mat_data=None, active='flow_stress',
+                         scatter=False, data=None, data_label=None,
+                         arrow=False, file=None, title=None,
+                         fontsize=18):  # pragma: no cover
+        """Polar plot of initial yield points contained in the data set."""
+        import matplotlib.pyplot as plt
+        if mat_data is None:
+            mat_data = self.mat_data
+        fig, ax = plt.subplots(subplot_kw={'projection': 'polar'},
+                               figsize=(15, 8))
+        sc, scy = [], []
+        stresses = mat_data[active]
+        for i in range(len(stresses)):
+            cylv = sig_princ2cyl_single(stresses[i])
+            sc.append(cylv)
+            if active == 'flow_stress':
+                ppe = eps_eq(mat_data['plastic_strain'][i])
+                if ppe < 0.003:
+                    scy.append(cylv)
+            else:
+                scy.append(cylv)
+        scy = np.array(scy if scy else sc)
+        ax.scatter(scy[:, 1], scy[:, 0], marker=".", label='yield points')
+        if data is not None:
+            ax.plot(data[:, 1], data[:, 0], '.r', label=data_label)
+        if title:
+            ax.set_title(title, fontsize=fontsize)
+        ax.legend()
+        if file is not None:
+            fig.savefig(file + '.pdf', format='pdf', dpi=300)
+        plt.show()
+        return ax
 
     def plot_set(self):  # pragma: no cover
         import matplotlib.pyplot as plt

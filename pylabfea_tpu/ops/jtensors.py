@@ -8,7 +8,7 @@ routine based on ``eigh`` is provided for 3-parameter models; its ordering
 convention is normalized (see ``sig_princ_device``) and may differ from the
 host convention only in degenerate (tied) states.
 """
-import jax
+import jax  # noqa: F401  (kept for kernel callers)
 import jax.numpy as jnp
 import numpy as np
 

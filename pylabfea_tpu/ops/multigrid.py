@@ -15,7 +15,6 @@ The V-cycle is symmetric (equal pre/post smoothing), so it is a valid SPD
 preconditioner for CG.  Displacement BCs are handled by zeroing fixed dofs
 on every level (identity rows).
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ Golden values are the reference numerical contract
 (pyLabFEA v4.4.2, tests/test_ml.py).
 """
 import numpy as np
-import pytest
+
 
 import pylabfea_tpu as FE
 

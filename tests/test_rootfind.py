@@ -6,7 +6,7 @@ xtol=1e-5 while the regression contract is tighter than that, so we require
 and brackets, not just agreement within xtol.
 """
 import numpy as np
-import pytest
+
 from scipy.optimize import root_scalar
 
 from pylabfea_tpu.ops.rootfind import brent_vec, brent_jax

@@ -1,7 +1,7 @@
 """Checkpoint/resume, profiling, and multigrid unit tests."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
+
 
 import pylabfea_tpu as FE
 from pylabfea_tpu.ops import fe_kernels as fek, multigrid as mg, \
