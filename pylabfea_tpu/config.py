@@ -49,10 +49,15 @@ def compute_dtype():
 import os as _os
 
 _cache_dir = _os.environ.get("PYLABFEA_TPU_CACHE")
-if _cache_dir:  # opt-in: cross-machine AOT cache reuse can be unsafe
+if _cache_dir is None and default_device_kind() == "tpu":
+    # default-on for TPU (compiles of the deep solver programs are
+    # expensive); CPU stays opt-in because cross-machine AOT reuse of CPU
+    # executables is feature-sensitive
+    _cache_dir = _os.path.expanduser("~/.cache/pylabfea_tpu_xla")
+if _cache_dir:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
