@@ -1,0 +1,83 @@
+"""Domain-decomposed (halo-exchange) solver tests on the 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylabfea_tpu.ops import fe_kernels as fek
+from pylabfea_tpu.parallel import sharded as sh
+import __graft_entry__ as g
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 devices')
+
+
+def test_strip_elastic_matches_single():
+    """Halo-exchange CG == single-device CG on the same elastic problem."""
+    dtype = jnp.float64
+    CV = np.asarray(g._elastic_cv(dtype))
+    NX, NY = 32, 8
+    md = fek.rect_mesh(NX, NY, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                       dtype=dtype)
+    el = jnp.broadcast_to(jnp.asarray(CV), (md.nel, 6, 6))
+    Ke = fek.element_stiffness(md, el)
+    bc = md.fixed_val * 0.5
+    vm = fek.gather_element(md, jnp.where(md.fixed, bc, 0.))
+    rhs = jnp.where(md.fixed, bc, -fek.scatter_element(
+        md, jnp.einsum('eij,ej->ei', Ke, vm)))
+    x0 = jnp.where(md.fixed, bc, 0.)
+    du1, res1, _ = fek.cg_solve(lambda v: fek.k_apply(md, Ke, v), rhs, x0,
+                                fek.k_diag(md, Ke), tol=1e-12, maxiter=20000)
+    u1 = np.asarray(du1).reshape(NX + 1, NY + 1, 2)
+
+    sm = sh.StripMesh(NX, NY, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                      n_devices=8, dtype=dtype)
+    el_b = sm.shard_elements(np.broadcast_to(CV, (NX * NY, 6, 6)).copy())
+    Ke_b = sm.jacw * jnp.einsum('gai,deab,gbj->deij', sm.B, el_b, sm.B)
+    bcv = sm.fixed_val * 0.5
+    du_bc = jnp.where(sm.fixed, bcv, 0.)
+    k_apply = sh.make_k_apply(sm)
+    rhs_s = jnp.where(sm.fixed, bcv,
+                      -k_apply(Ke_b, du_bc, jnp.zeros_like(sm.fixed)))
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(shard_map, mesh=sm.mesh, in_specs=(P('x'), P('x')),
+             out_specs=P('x'))
+    def dcalc(Ke_loc, fixed_loc):
+        de = jnp.diagonal(Ke_loc[0], axis1=1, axis2=2)
+        d = sh._scatter_local(de, sm.NXd, sm.NY, sm.nnY)
+        d = sh._halo_accumulate(d)
+        return jnp.where(fixed_loc[0], 1., d)[None]
+
+    du2, res2, _ = sh.cg_solve_strip(sm, Ke_b, rhs_s, du_bc,
+                                     dcalc(Ke_b, sm.fixed), tol=1e-12,
+                                     maxiter=20000)
+    du2 = np.asarray(du2)
+    u2 = np.concatenate([du2[d, :-1] for d in range(8)] + [du2[7, -1:]],
+                        axis=0)
+    np.testing.assert_allclose(u2, u1, atol=1e-12)
+    # duplicated boundary columns stay bitwise consistent
+    for d in range(7):
+        np.testing.assert_array_equal(du2[d, -1], du2[d + 1, 0])
+
+
+def test_strip_plastic_step_matches_single():
+    dtype = jnp.float32
+    mat = g._flagship_material(dtype)
+    CV = g._elastic_cv(dtype)
+    md = fek.rect_mesh(32, 8, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                       dtype=dtype)
+    st0 = fek.init_state(md, CV, dtype=dtype)
+    st1, d1 = fek.load_step(md, st0, mat, CV, jnp.asarray(0.5, dtype),
+                            n_inner=2, cg_maxiter=400)
+    sm = sh.StripMesh(32, 8, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                      n_devices=8, dtype=dtype)
+    el0 = sm.shard_elements(
+        np.broadcast_to(np.asarray(CV), (32 * 8, 6, 6)).copy())
+    sig0 = sm.shard_elements(np.zeros((32 * 8, 6)))
+    epl0 = sm.shard_elements(np.zeros((32 * 8, 6)))
+    sig1, epl1, du, dd = sh.strip_load_step(sm, el0, sig0, epl0, mat, 0.5, 2)
+    assert abs(float(dd['glob_sig'][1]) - float(d1['glob_sig'][1])) < 5e-3 * \
+        abs(float(d1['glob_sig'][1]))
