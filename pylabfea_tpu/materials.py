@@ -98,6 +98,19 @@ class Material(object):
         self.propJ2 = empty(('ys', 'seq', 'eeq', 'peeq'))
         self.sigeps = empty(('sig', 'eps', 'epl'))
 
+    def GridSearchCVTexture(self, x, param_grid, n_splits, verbose=True):
+        """Texture-stratified grid-search CV (API parity with the reference
+        stub, material.py:2370); the working implementation is the K-fold
+        texture recursion inside ``train_SVC(gridsearch=True)``."""
+        return self._train_svc_texture_gridsearch(
+            C=list(param_grid.get('C', [10]))[0],
+            gamma=list(param_grid.get('gamma', [1]))[0],
+            Nlc=36, Nseq=25, extend=False, mat_ref=None, sdata=None,
+            plot=False, fontsize=16, Fe=0.1, Ce=0.99, scaler=None, pca=None,
+            verbose=verbose, metric='acc', pca_dim=10,
+            cvals=list(param_grid.get('C', [10])),
+            gvals=list(param_grid.get('gamma', [1])))
+
     # =================================================================
     # elastic and plastic material definitions
     # =================================================================
