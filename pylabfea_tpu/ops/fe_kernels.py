@@ -242,7 +242,7 @@ def init_state(md: MeshData, CV, dtype=jnp.float32):
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
-              CV, load_frac, n_inner=3, cg_tol=1.e-8, cg_maxiter=2000,
+              CV, load_frac, n_inner=3, cg_tol=None, cg_maxiter=2000,
               fast=True, nsub=4):
     """One incremental load step of the device solver.
 
@@ -255,6 +255,10 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     Returns (new_state, diagnostics dict).
     """
     CV = jnp.asarray(CV, dtype=state.u.dtype)
+    if cg_tol is None:
+        # f32 cannot reliably reach 1e-8 relative residuals; a stalled CG
+        # can then diverge, so pick the tolerance per dtype
+        cg_tol = 1.e-8 if state.u.dtype == jnp.float64 else 2.e-5
     bc_val = md.fixed_val * load_frac
     use_mg = md.grid is not None
 
@@ -328,7 +332,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
 
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
-                   n_inner=3, dtype=jnp.float32, cg_tol=1.e-8,
+                   n_inner=3, dtype=jnp.float32, cg_tol=None,
                    cg_maxiter=2000, fast=True, nsub=4):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
     increments; returns (final state, per-step global stress/strain)."""
