@@ -328,6 +328,31 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     return fy_out, sig_out, depl_out, grad_out
 
 
+def response_chunked(m: DeviceMaterial, state, deps, CV, maxit=50,
+                     chunk=65536):
+    """Reference-faithful ``response`` evaluated in fixed-size chunks via
+    ``lax.map`` — bounds the live (chunk, nsv) kernel matrices so very large
+    batches (10^6+ Gauss points) fit in HBM."""
+    sig0, epl0 = state
+    N = sig0.shape[0]
+    if N <= chunk:
+        return response(m, state, deps, CV, maxit)
+    pad = (-N) % chunk
+    def pad0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    blocks = jax.tree.map(
+        lambda x: x.reshape(-1, chunk, *x.shape[1:]),
+        (pad0(sig0), pad0(epl0), pad0(deps)))
+
+    def one(block):
+        s, e, d = block
+        return response(m, (s, e), d, CV, maxit)
+
+    fy, s, dp, g = jax.lax.map(one, blocks)
+    unb = lambda x: x.reshape(-1, *x.shape[2:])[:N]
+    return unb(fy), unb(s), unb(dp), unb(g)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     """Production return map — cutting-plane closest-point projection.
