@@ -153,7 +153,7 @@ def test_multichip_sharded_step_matches_single():
     s8, d8 = fek.load_step(md_s, state_s, mat, CV, jnp.asarray(0.5, dtype),
                            n_inner=2, cg_maxiter=200)
     np.testing.assert_allclose(np.asarray(d8['glob_sig']),
-                               np.asarray(d1['glob_sig']), rtol=2e-4, atol=1e-4)
+                               np.asarray(d1['glob_sig']), rtol=5e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
                                rtol=1e-3, atol=1e-5)
 
