@@ -285,14 +285,15 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
                                    maxiter=cg_maxiter)
         return du, Ke, res, it
 
-    du, Ke, cg_res, cg_it = solve_with(state.elstiff, state.u)
-    elstiff = state.elstiff
-    fy = jnp.zeros(md.nel, dtype=state.u.dtype)
-    res_sig = state.sig
-    res_depl = jnp.zeros_like(state.sig)
-
+    # single scan: each iteration solves with the current tangent field,
+    # evaluates the batched return map on that du (so the final iteration's
+    # stress state is consistent with its displacement increment), then
+    # updates the tangents for the next iteration.  One solver instance and
+    # one response instance in the compiled program — compile time of the
+    # multigrid hierarchy dominates, so instance count matters.
     def inner(carry, _):
-        du, elstiff, fy, res_sig, res_depl = carry
+        elstiff = carry
+        du, Ke, cg_res, cg_it = solve_with(elstiff, state.u)
         deps = element_deps(md, du)
         if fast:
             fy, sig_n, depl_n, grad = con.response_fast(
@@ -302,14 +303,18 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
                 mat, (state.sig, state.epl), deps, CV)
         dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
         elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
-        du, _, _, _ = solve_with(elstiff, state.u)
-        return (du, elstiff, fy, sig_n, depl_n), dst.max()
+        return elstiff, (du, fy, sig_n, depl_n, dst.max(), cg_res, cg_it)
 
-    (du, elstiff, fy, res_sig, res_depl), dst_hist = jax.lax.scan(
-        inner, (du, elstiff, fy, res_sig, res_depl), None, length=n_inner)
+    elstiff, outs = jax.lax.scan(inner, state.elstiff, None,
+                                 length=n_inner + 1)
+    du = outs[0][-1]
+    fy = outs[1][-1]
+    res_sig = outs[2][-1]
+    res_depl = outs[3][-1]
+    dst_hist = outs[4]
+    cg_res = outs[5][-1]
+    cg_it = outs[6][-1]
 
-    # final response with the converged displacement increment so the
-    # committed stress state is consistent with the committed strain
     deps = element_deps(md, du)
     if fast:
         fy, res_sig, res_depl, _ = con.response_fast(

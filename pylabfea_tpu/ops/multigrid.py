@@ -127,32 +127,35 @@ def v_cycle(levels, b, lvl=0, nu=2):
 
 
 def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200):
-    """CG with a V-cycle preconditioner on the finest level."""
+    """CG with a V-cycle preconditioner on the finest level.
+
+    The loop is arranged so the (large) V-cycle subprogram is instantiated
+    exactly once in the compiled program — XLA compile time of the deep
+    multigrid hierarchy is the binding constraint, not FLOPs.
+    """
     level = levels[0]
     md = level.md
     apply_fn = lambda v: fek.k_apply(md, level.Ke, v)
-    r = b - apply_fn(x0)
-    r = jnp.where(md.fixed, 0., r)
-    z = v_cycle(levels, r)
-    p = z
-    rz = jnp.vdot(r, z)
+    r0 = jnp.where(md.fixed, 0., b - apply_fn(x0))
     bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    p0 = jnp.zeros_like(r0)
 
     def cond(s):
         x, r, p, rz, it = s
         return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
 
     def body(s):
-        x, r, p, rz, it = s
+        x, r, p, rz_prev, it = s
+        z = v_cycle(levels, r)
+        rz = jnp.vdot(r, z)
+        beta = jnp.where(it == 0, 0., rz / rz_prev)
+        p = z + beta * p
         Ap = apply_fn(p)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
-        r = r - alpha * Ap
-        r = jnp.where(md.fixed, 0., r)
-        z = v_cycle(levels, r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return x, r, p, rz_new, it + 1
+        r = jnp.where(md.fixed, 0., r - alpha * Ap)
+        return x, r, p, rz, it + 1
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    x, r, p, rz, it = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, jnp.asarray(1., r0.dtype), 0))
     return x, jnp.linalg.norm(r) / bnorm, it
