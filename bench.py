@@ -114,6 +114,31 @@ def main():
     log(f'reference-style host: {n_host} points in {dt_host * 1e3:.1f} ms '
         f'-> {thr_host:,.1f} maps/s')
 
+    # secondary metric (stderr): full Newton load step — multigrid CG +
+    # batched return map — on a 256x256 Hill-ML mesh
+    try:
+        import os
+        if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
+            from pylabfea_tpu.ops import fe_kernels as fek
+            NB = 256
+            md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
+                               eps_tot=0.002, dtype=dtype)
+            st = fek.init_state(md, CV, dtype=dtype)
+            st, d = fek.load_step(md, st, dm, CV, jnp.asarray(0.5, dtype),
+                                  n_inner=2, cg_maxiter=200)
+            jax.block_until_ready(st.sig)
+            t0 = time.perf_counter()
+            st, d = fek.load_step(md, st, dm, CV, jnp.asarray(0.25, dtype),
+                                  n_inner=2, cg_maxiter=200)
+            jax.block_until_ready(st.sig)
+            dt_fe = time.perf_counter() - t0
+            log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
+                f'{int(d["cg_iters"])} iters, res {float(d["cg_res"]):.1e}): '
+                f'{dt_fe * 1e3:.0f} ms -> {NB * NB / dt_fe:,.0f} '
+                f'element-updates/s')
+    except Exception as e:  # never break the headline metric
+        log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
+
     vs = thr / thr_host
     print(json.dumps({
         "metric": "hill_ml_return_maps_per_s",

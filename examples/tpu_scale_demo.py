@@ -37,10 +37,17 @@ def main(NX=512, NY=512, nsteps=10):
         md = shard_mesh_data(md, mesh)
         state = shard_state(state, mesh)
         print(f'element dimension sharded over {ndev} devices')
+    sharded = ndev > 1 and (NX * NY) % ndev == 0
     t0 = time.perf_counter()
     for i in range(nsteps):
-        state, diag = fek.load_step(md, state, mat, CV, 1. / nsteps,
-                                    n_inner=2, cg_maxiter=500)
+        if sharded:
+            state, diag = fek.load_step(md, state, mat, CV, 1. / nsteps,
+                                        n_inner=2, cg_maxiter=500)
+        else:
+            # split-program mode: compiles in seconds even for deep
+            # multigrid hierarchies
+            state, diag = fek.load_step_split(md, state, mat, CV,
+                                              1. / nsteps, n_inner=2)
         jax.block_until_ready(state.sig)
         gs = np.asarray(diag['glob_sig'])
         print(f'step {i}: t={time.perf_counter() - t0:7.2f}s  '

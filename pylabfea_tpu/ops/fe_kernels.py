@@ -339,6 +339,72 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     return new, diag
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
+    """One (jitted) linear solve with the current tangent field: prescribed
+    displacements ``bc_val`` on fixed dofs, MG-CG on structured meshes.
+    Returns (du, res, iters)."""
+    from pylabfea_tpu.ops import multigrid as mg
+    dtype = elstiff.dtype
+    if cg_tol is None:
+        cg_tol = 1.e-8 if dtype == jnp.float64 else 1.e-6
+    Ke = element_stiffness(md, elstiff)
+    du_bc = jnp.where(md.fixed, bc_val, 0.)
+    vm = gather_element(md, du_bc)
+    fe = jnp.einsum('eij,ej->ei', Ke, vm, preferred_element_type=dtype)
+    rhs = jnp.where(md.fixed, bc_val, -scatter_element(md, fe))
+    x0 = jnp.where(md.fixed, bc_val, 0.)
+    if md.grid is not None:
+        levels = mg.build_hierarchy(md, elstiff)
+        return mg.mg_cg_solve(levels, rhs, x0, tol=cg_tol,
+                              maxiter=min(cg_maxiter, 100))
+    return cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0, k_diag(md, Ke),
+                    tol=cg_tol, maxiter=cg_maxiter)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
+                        fast=True, nsub=4):
+    """Jitted response + tangent update for the split-program load step."""
+    CV = jnp.asarray(CV, dtype=state.u.dtype)
+    deps = element_deps(md, du)
+    if fast:
+        fy, sig_n, depl_n, grad = con.response_fast(
+            mat, (state.sig, state.epl), deps, CV, 12, nsub)
+    else:
+        fy, sig_n, depl_n, grad = con.response(
+            mat, (state.sig, state.epl), deps, CV)
+    dst = jnp.linalg.norm((state.elstiff - grad).reshape(md.nel, -1), axis=1)
+    elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, state.elstiff)
+    return fy, sig_n, depl_n, elstiff, deps, dst.max()
+
+
+def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
+                    n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
+                    nsub=4):
+    """Host-orchestrated load step from two small jitted programs (linear
+    solve, response+tangent-update).  Functionally equivalent to
+    ``load_step`` but compiles in seconds instead of tens of minutes for
+    deep multigrid hierarchies, at the cost of a few extra host
+    dispatches per step.  Preferred for large single-chip meshes."""
+    bc_val = md.fixed_val * load_frac
+    elstiff = state.elstiff
+    for _ in range(n_inner + 1):
+        du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, cg_tol,
+                                         cg_maxiter)
+        st = state._replace(elstiff=elstiff)
+        fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
+            md, st, mat, CV, du, fast, nsub)
+    new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
+                      eps=state.eps + deps, elstiff=elstiff)
+    diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,
+            'cg_iters': cg_it,
+            'glob_sig': jnp.mean(sig_n, axis=0),
+            'glob_eps': jnp.mean(new.eps, axis=0),
+            'glob_epl': jnp.mean(new.epl, axis=0)}
+    return new, diag
+
+
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=None,
                    cg_maxiter=2000, fast=True, nsub=4):
