@@ -252,6 +252,14 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     changed, re-solve.  Fixed trip count keeps the whole step one XLA
     program; the host outer loop controls load stepping.
 
+    NOTE: on TPU, very large single-chip structured meshes (observed at
+    512x512, 7-level multigrid) trigger an XLA miscompilation of this
+    monolithic program (the equivalent split-program
+    ``load_step_split`` produces correct results on identical inputs and is
+    validated against it at smaller sizes).  Prefer ``load_step_split`` for
+    large single-chip meshes; this fused variant remains the path for
+    sharded execution and small/medium meshes.
+
     Returns (new_state, diagnostics dict).
     """
     CV = jnp.asarray(CV, dtype=state.u.dtype)
@@ -319,12 +327,6 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     cg_it = outs[6][-1]
 
     deps = element_deps(md, du)
-    if fast:
-        fy, res_sig, res_depl, _ = con.response_fast(
-            mat, (state.sig, state.epl), deps, CV, 12, nsub)
-    else:
-        fy, res_sig, res_depl, _ = con.response(
-            mat, (state.sig, state.epl), deps, CV)
     u_new = state.u + du
     eps_new = state.eps + deps
     new = SolverState(u=u_new, sig=res_sig, epl=state.epl + res_depl,
@@ -407,14 +409,17 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
 
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=None,
-                   cg_maxiter=2000, fast=True, nsub=4):
+                   cg_maxiter=2000, fast=True, nsub=4, split=True):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
-    increments; returns (final state, per-step global stress/strain)."""
+    increments; returns (final state, per-step global stress/strain).
+    ``split=True`` (default) uses the split-program step — fast compiles
+    and robust at large mesh sizes."""
     state = init_state(md, CV, dtype=dtype)
     hist = []
+    stepper = load_step_split if split else load_step
     for _ in range(nsteps):
-        state, diag = load_step(md, state, mat, CV, 1. / nsteps,
-                                n_inner=n_inner, cg_tol=cg_tol,
-                                cg_maxiter=cg_maxiter, fast=fast, nsub=nsub)
+        state, diag = stepper(md, state, mat, CV, 1. / nsteps,
+                              n_inner=n_inner, cg_tol=cg_tol,
+                              cg_maxiter=cg_maxiter, fast=fast, nsub=nsub)
         hist.append((diag['glob_sig'], diag['glob_eps'], diag['glob_epl']))
     return state, hist
