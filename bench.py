@@ -124,12 +124,10 @@ def main():
             md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
                                eps_tot=0.002, dtype=dtype)
             st = fek.init_state(md, CV, dtype=dtype)
-            st, d = fek.load_step(md, st, dm, CV, jnp.asarray(0.5, dtype),
-                                  n_inner=2, cg_maxiter=200)
+            st, d = fek.load_step_split(md, st, dm, CV, 0.5, n_inner=2)
             jax.block_until_ready(st.sig)
             t0 = time.perf_counter()
-            st, d = fek.load_step(md, st, dm, CV, jnp.asarray(0.25, dtype),
-                                  n_inner=2, cg_maxiter=200)
+            st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
             jax.block_until_ready(st.sig)
             dt_fe = time.perf_counter() - t0
             log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
