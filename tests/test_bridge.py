@@ -1,0 +1,60 @@
+"""Host-model -> device-solver bridge tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pylabfea_tpu as FE
+from pylabfea_tpu import bridge
+
+
+def _model(plastic=True):
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    if plastic:
+        mat.plasticity(sy=150., khard=1000., sdim=6)
+    else:
+        mat.plasticity(sy=1.e9, sdim=6)
+    fe = FE.Model(dim=2, planestress=False)
+    fe.geom([4.], LY=4.)
+    fe.assign([mat])
+    fe.bcleft(0.)
+    fe.bcbot(0.)
+    fe.bcright(0., 'force')
+    fe.bctop(0.002 * fe.leny, 'disp')
+    fe.mesh(NX=16, NY=16)
+    return fe
+
+
+def test_bridge_matches_host_solver():
+    fe_host = _model()
+    fe_host.solve(min_step=20)
+    fe_dev = _model()
+    bridge.solve_on_device(fe_dev, nsteps=20, n_inner=4, dtype=jnp.float64)
+    rel = abs(fe_dev.glob['sig'][1] - fe_host.glob['sig'][1]) / \
+        abs(fe_host.glob['sig'][1])
+    assert rel < 5e-3
+    # element state written back; post-processing works
+    assert np.isfinite([el.sig for el in fe_dev.element]).all()
+    assert fe_dev.sgl.shape[0] == 21
+    # reaction forces consistent: top-edge y-forces balance the stress
+    uxt, uyt, fxt, fyt = fe_dev.bcval(fe_dev.notop)
+    sig_from_f = fyt / (fe_dev.lenx * fe_dev.thick)
+    assert abs(sig_from_f - fe_dev.glob['sig'][1]) / \
+        abs(fe_dev.glob['sig'][1]) < 2e-2
+
+
+def test_bridge_rejects_unsupported():
+    mat1 = FE.Material()
+    mat1.elasticity(E=100.e3, nu=0.3)
+    mat2 = FE.Material()
+    mat2.elasticity(E=300.e3, nu=0.3)
+    fe = FE.Model(dim=2, planestress=False)
+    fe.geom([2., 2.], LY=2.)
+    fe.assign([mat1, mat2])
+    fe.bcleft(0.)
+    fe.bcbot(0.)
+    fe.bcright(0., 'force')
+    fe.bctop(0.01 * fe.leny, 'disp')
+    fe.mesh(NX=4, NY=4)
+    with pytest.raises(ValueError, match='one material'):
+        bridge.to_device(fe)
