@@ -1,0 +1,70 @@
+"""Device (JAX) SVC trainer vs sklearn on yield-function data."""
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import fsolve
+
+import pylabfea_tpu as FE
+from pylabfea_tpu import ml_train
+from pylabfea_tpu.ops import svc as svc_ops
+
+
+def _training_set():
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=100., hill=[1.2, 1., 0.8, 1., 1., 1.], sdim=6)
+    gen = FE.Material('gen')
+    gen.dev_only = False
+    gen.elasticity(E=200.e3, nu=0.3)
+    gen.plasticity(sy=100., sdim=6)
+    x, y = gen.create_sig_data(N=120, mat_ref=ref, Nseq=8, Fe=0.5, Ce=0.95)
+    return ref, x / 100., y  # features scaled by sy
+
+
+def test_jax_trainer_accuracy():
+    ref, X, y = _training_set()
+    params, a = ml_train.fit_svc_jax(X, y, C=10., gamma=2.5, iters=2000,
+                                     dtype=jnp.float64)
+    pred = np.where(svc_ops.decision_function(params, X) > 0, 1., -1.)
+    acc = np.mean(pred == y)
+    assert acc > 0.97
+
+
+def test_jax_trainer_matches_sklearn_locus():
+    """The zero level set of the device-trained SVC must sit on the same
+    yield locus as sklearn's (within the training band spacing)."""
+    from sklearn import svm
+    ref, X, y = _training_set()
+    params, _ = ml_train.fit_svc_jax(X, y, C=10., gamma=2.5, iters=3000,
+                                     dtype=jnp.float64)
+    clf = svm.SVC(kernel='rbf', C=10., gamma=2.5).fit(X, y)
+    sk = svc_ops.SVCParams.from_sklearn(clf)
+
+    su = FE.load_cases(0, 24)
+    def locus(p):
+        f = lambda t: svc_ops.decision_function(p, t[:, None] * su)
+        from pylabfea_tpu.ops.rootfind import brent_vec
+        r, ok = brent_vec(f, 0.5 * np.ones(24), 1.6 * np.ones(24), xtol=1e-6)
+        return r, ok
+    r_jx, ok1 = locus(params)
+    r_sk, ok2 = locus(sk)
+    m = ok1 & ok2
+    assert m.sum() >= 20
+    np.testing.assert_allclose(r_jx[m], r_sk[m], rtol=0.04)
+
+
+def test_train_svc_jax_installs_material():
+    ref, X, y = _training_set()
+    mat = FE.Material('jaxml')
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=100., sdim=6)
+    mat.scale_seq = 100.
+    mat.Ndof = 6
+    mat.dev_only = False
+    score = ml_train.train_svc_jax(mat, X * 100. / mat.scale_seq, y,
+                                   C=10., gamma=2.5, iters=2000)
+    assert score > 97.
+    assert mat.ML_yf
+    # full material machinery works on the device-trained SVC
+    d_in = mat.ML_full_yf(np.array([50., 0., 0., 0., 0., 0.]))
+    d_out = mat.ML_full_yf(np.array([160., 0., 0., 0., 0., 0.]))
+    assert d_in < 0. < d_out
