@@ -46,4 +46,10 @@ def __getattr__(name):
                 "uniform_hypersphere", "int_sin_m", "primes"):
         from pylabfea_tpu import training
         return getattr(training, name)
+    if name == "bridge":
+        from pylabfea_tpu import bridge
+        return bridge
+    if name in ("fit_svc_jax", "train_svc_jax"):
+        from pylabfea_tpu import ml_train
+        return getattr(ml_train, name)
     raise AttributeError(f"module 'pylabfea_tpu' has no attribute {name!r}")

@@ -484,14 +484,38 @@ class Model(object):
     # ----------------------
     # assembly & solution
     # ----------------------
+    #: above this DOF count the solver switches from dense LU (the
+    #: reference contract, used by all regression cases) to sparse CSR +
+    #: SuperLU, which scales the host profile to medium meshes
+    sparse_threshold = 6000
+
     def setupK(self):
         """Assemble the global stiffness matrix (batched scatter-add of all
-        element stiffness matrices)."""
-        K = np.zeros((self.Ndof, self.Ndof))
+        element stiffness matrices); sparse CSR above ``sparse_threshold``
+        DOFs."""
         Kels = np.stack([el.Kel for el in self.element])
         rows = self._asm_dofs
+        if self.Ndof > self.sparse_threshold:
+            from scipy import sparse
+            nn = rows.shape[1]
+            ri = np.repeat(rows, nn, axis=1).ravel()
+            ci = np.tile(rows, (1, nn)).ravel()
+            K = sparse.coo_matrix((Kels.ravel(), (ri, ci)),
+                                  shape=(self.Ndof, self.Ndof)).tocsr()
+            return K
+        K = np.zeros((self.Ndof, self.Ndof))
         np.add.at(K, (rows[:, :, None], rows[:, None, :]), Kels)
         return K
+
+    @staticmethod
+    def _solve_reduced(K, ind, rhs):
+        """Solve the BC-reduced system for the free DOFs ``ind``."""
+        from scipy import sparse
+        if sparse.issparse(K):
+            from scipy.sparse.linalg import spsolve
+            Kr = K[ind, :][:, ind].tocsc()
+            return spsolve(Kr, rhs)
+        return np.linalg.solve(K[np.ix_(ind, ind)], rhs)
 
     def _calc_BC(self, K, bcl0, bcb0, dbcr, dbct, dbcn):
         """Apply BCs: returns (du with prescribed values, consistent force
@@ -695,7 +719,7 @@ class Model(object):
                 dbcn = None
 
             self.du, df, ind = self._calc_BC(K, bcl0, bcb0, dbcr, dbct, dbcn)
-            self.du[ind] = np.linalg.solve(K[np.ix_(ind, ind)], df[ind])
+            self.du[ind] = self._solve_reduced(K, ind, df[ind])
 
             if self.nonlin:
                 scale_bc = (self._calc_scf(sld, verb) if il < 10 else 1.)
@@ -733,7 +757,7 @@ class Model(object):
                     K = self.setupK()
                     self.du, df, ind = self._calc_BC(K, bcl0, bcb0, dbcr,
                                                      dbct, dbcn)
-                    self.du[ind] = np.linalg.solve(K[np.ix_(ind, ind)], df[ind])
+                    self.du[ind] = self._solve_reduced(K, ind, df[ind])
 
                     # material response, batched per material group
                     f = np.zeros(self.Nel)
