@@ -47,8 +47,8 @@ def __getattr__(name):
         from pylabfea_tpu import training
         return getattr(training, name)
     if name == "bridge":
-        from pylabfea_tpu import bridge
-        return bridge
+        import importlib
+        return importlib.import_module("pylabfea_tpu.bridge")
     if name in ("fit_svc_jax", "train_svc_jax"):
         from pylabfea_tpu import ml_train
         return getattr(ml_train, name)

@@ -80,7 +80,9 @@ class StripMesh:
             NamedSharding(self.mesh, P('x')))
 
     def shard_elements(self, arr_global):
-        """(Nel, ...) element array -> (D, NXd*NY, ...) sharded blocks."""
+        """(Nel, ...) element array -> (D, NXd*NY, ...) sharded blocks
+        (cast to the mesh dtype)."""
+        arr_global = jnp.asarray(arr_global, dtype=self.dtype)
         tail = arr_global.shape[1:]
         blocked = arr_global.reshape(self.D, self.NXd * self.NY, *tail)
         return jax.device_put(blocked, NamedSharding(self.mesh, P('x')))
@@ -156,44 +158,87 @@ def make_dot(sm: StripMesh):
     return gdot
 
 
+def make_schwarz_mg(sm: StripMesh, elstiff_blocks, min_size=8):
+    """Additive-Schwarz preconditioner with a local multigrid V-cycle per
+    strip: each device solves its own subdomain (Dirichlet conditions at
+    strip interfaces) with the geometric multigrid of ``ops.multigrid`` —
+    zero communication inside the preconditioner, mesh-size-independent
+    strength per strip."""
+    from pylabfea_tpu.ops import multigrid as mg
+    md_loc = fek.rect_mesh(sm.NXd, sm.NY,
+                           LX=sm.lx * sm.NXd, LY=sm.ly * sm.NY,
+                           uniax='y', eps_tot=0., dtype=sm.dtype)
+    D = sm.D
+
+    @partial(shard_map, mesh=sm.mesh,
+             in_specs=(P('x'), P('x'), P('x'), P('x')), out_specs=P('x'))
+    def precon(r_blocks, el_blocks, fixed_blocks, diag_blocks):
+        r = r_blocks[0]
+        els = el_blocks[0]
+        idx = jax.lax.axis_index('x')
+        # Dirichlet at interior strip interfaces (left col for d>0, right
+        # col for d<D-1), plus the global BC mask of this strip
+        gfix = fixed_blocks[0]
+        left_if = jnp.where(idx > 0, True, False)
+        right_if = jnp.where(idx < D - 1, True, False)
+        fix = gfix.at[0].set(gfix[0] | left_if)
+        fix = fix.at[-1].set(gfix[-1] | right_if)
+        md_d = md_loc._replace(fixed=fix.reshape(-1))
+        levels = mg.build_hierarchy(md_d, els, min_size=min_size)
+        # coarse levels inherit the *generator's* masks (approximate but
+        # SPD-safe as a preconditioner)
+        z = mg.v_cycle(levels, jnp.where(md_d.fixed, 0., r.reshape(-1)))
+        z = z.reshape(r.shape)
+        # the local solve is Dirichlet (z = 0) on the interface columns; a
+        # Jacobi patch there keeps the preconditioner nonsingular/SPD
+        iface = fix & ~gfix
+        z = jnp.where(iface, r / diag_blocks[0], z)
+        return z[None]
+
+    return precon
+
+
 def cg_solve_strip(sm: StripMesh, Ke_blocks, rhs, x0, diag, tol=1e-8,
-                   maxiter=1000):
-    """Jacobi-preconditioned CG on the strip-decomposed operator.  All
-    vectors live as (D, NXd+1, nnY, 2) sharded blocks; the only per-iteration
-    communication is the two-column halo exchange plus scalar psums."""
+                   maxiter=1000, precon=None):
+    """Preconditioned CG on the strip-decomposed operator.  All vectors
+    live as (D, NXd+1, nnY, 2) sharded blocks; per-iteration communication
+    is the two-column halo exchange plus scalar psums.  ``precon`` is an
+    optional block preconditioner (e.g. ``make_schwarz_mg``); default is
+    Jacobi."""
     k_apply = make_k_apply(sm)
     gdot = make_dot(sm)
     A = lambda v: k_apply(Ke_blocks, v, sm.fixed)
     minv = 1. / diag
-    r = rhs - A(x0)
-    z = minv * r
-    p = z
-    rz = gdot(r, z, sm.own)
+    M = precon if precon is not None else (lambda r: minv * r)
+    r0 = rhs - A(x0)
     bnorm = jnp.maximum(jnp.sqrt(gdot(rhs, rhs, sm.own)), 1e-30)
+    p0 = jnp.zeros_like(r0)
 
     def cond(s):
         x, r, p, rz, it = s
         return (jnp.sqrt(gdot(r, r, sm.own)) > tol * bnorm) & (it < maxiter)
 
     def body(s):
-        x, r, p, rz, it = s
+        x, r, p, rz_prev, it = s
+        z = M(r)
+        rz = gdot(r, z, sm.own)
+        beta = jnp.where(it == 0, 0., rz / rz_prev)
+        p = z + beta * p
         Ap = A(p)
         alpha = rz / gdot(p, Ap, sm.own)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = minv * r
-        rz_new = gdot(r, z, sm.own)
-        p = z + (rz_new / rz) * p
-        return x, r, p, rz_new, it + 1
+        return x, r, p, rz, it + 1
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    x, r, p, rz, it = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, jnp.asarray(1., r0.dtype), 0))
     return x, jnp.sqrt(gdot(r, r, sm.own)) / bnorm, it
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     mat: con.DeviceMaterial, load_frac=1.0, n_inner=2,
-                    cg_tol=1e-8, nsub=4):
+                    cg_tol=1e-8, nsub=4, schwarz=True):
     """One load step on the strip-decomposed mesh: CG solve (halo-exchange
     K-apply), element-local batched return map (zero communication), tangent
     update, re-solve, final consistent response.  Returns updated
@@ -223,8 +268,13 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
         k_apply = make_k_apply(sm)
         rhs = -k_apply(Ke, du_bc, jnp.zeros_like(sm.fixed))
         rhs = jnp.where(sm.fixed, bc, rhs)
-        du, res, it = cg_solve_strip(sm, Ke, rhs, du_bc, diag_of(Ke),
-                                     tol=cg_tol)
+        diag = diag_of(Ke)
+        M = None
+        if schwarz:
+            pre = make_schwarz_mg(sm, elstiff_blocks)
+            M = lambda r: pre(r, elstiff_blocks, sm.fixed, diag)
+        du, res, it = cg_solve_strip(sm, Ke, rhs, du_bc, diag,
+                                     tol=cg_tol, precon=M)
         return du, res, it
 
     @partial(shard_map, mesh=sm.mesh, in_specs=(P('x'),), out_specs=P('x'))
