@@ -45,3 +45,26 @@ def test_train_cpfem_example(tmp_path, monkeypatch):
     import train_cpfem
     mat = train_cpfem.main(plot=False)
     assert mat is not None and mat.ML_yf
+
+
+def test_notebooks_execute(tmp_path, monkeypatch):
+    """All notebooks are valid nbformat-4 JSON; the fast ones execute
+    end-to-end (headless)."""
+    import json
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    monkeypatch.setattr(plt, 'show', lambda *a, **k: plt.close('all'))
+    monkeypatch.chdir(tmp_path)
+    nbdir = os.path.join(os.path.dirname(EXDIR), 'notebooks')
+    names = sorted(os.listdir(nbdir))
+    assert len(names) >= 8
+    for name in names:
+        nb = json.load(open(os.path.join(nbdir, name)))
+        assert nb['nbformat'] == 4 and len(nb['cells']) > 2
+        if name.startswith(('06_', '07_')):   # fast, fully executable subset
+            ns = {}
+            for cell in nb['cells']:
+                if cell['cell_type'] == 'code':
+                    exec(''.join(cell['source']), ns)
+    plt.close('all')

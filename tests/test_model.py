@@ -143,3 +143,56 @@ def test_scalar_response_equals_batch():
         np.testing.assert_allclose(s, s_b[i], atol=1e-10)
         np.testing.assert_allclose(dp, dp_b[i], atol=1e-12)
         np.testing.assert_allclose(g, g_b[i], atol=1e-8)
+
+
+def test_user_mesh_elmts_nodes():
+    """User-supplied meshes: ``elmts`` assigns section numbers per element
+    (reference model.py:772 'elmts : (NX, NY) array'); result must match the
+    laminate generated from ``geom`` sections.  ``nodes`` supplies explicit
+    positions for the regular grid."""
+    import pylabfea_tpu as FE
+
+    mat1 = FE.Material(num=1)
+    mat1.elasticity(E=300.e3, nu=0.3)
+    mat2 = FE.Material(num=2)
+    mat2.elasticity(E=100.e3, nu=0.3)
+
+    def make(elmts=None, nodes=None):
+        fe = FE.Model(dim=2, planestress=True)
+        fe.geom([2, 2], LY=2.)
+        fe.assign([mat1, mat2])
+        fe.bcbot(0.)
+        fe.bcleft(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.004 * fe.leny, 'disp')
+        if elmts is None:
+            fe.mesh(NX=4, NY=2)
+        else:
+            fe.mesh(elmts=elmts, nodes=nodes)
+        fe.solve()
+        return fe
+
+    fe_ref = make()
+    # same laminate expressed as an explicit element->section map
+    elmts = np.array([[1, 1], [1, 1], [2, 2], [2, 2]])
+    fe_usr = make(elmts=elmts)
+    np.testing.assert_allclose(fe_usr.u, fe_ref.u, atol=1e-10)
+    for ea, eb in zip(fe_usr.element, fe_ref.element):
+        np.testing.assert_allclose(ea.sig, eb.sig, atol=1e-8)
+
+    # nodes path: the reference demands len(ravel(nodes)) == Nnode
+    # (model.py:812), which rejects (Nnode, 2) coordinate arrays in 2-D —
+    # replicated faithfully
+    fe_n = FE.Model(dim=2, planestress=True)
+    fe_n.geom([2, 2], LY=2.)
+    fe_n.assign([mat1, mat2])
+    npos = np.array(fe_ref.npos).reshape(-1, 2)
+    with pytest.raises(ValueError):
+        fe_n.mesh(elmts=elmts, nodes=npos)
+
+    # mismatched elmts dimensionality must be rejected
+    fe_d = FE.Model(dim=2, planestress=True)
+    fe_d.geom([2, 2], LY=2.)
+    fe_d.assign([mat1, mat2])
+    with pytest.raises(ValueError):
+        fe_d.mesh(elmts=np.array([1, 1, 2, 2]))
