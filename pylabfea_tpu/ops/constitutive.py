@@ -108,6 +108,21 @@ def svc_gradient(m: DeviceMaterial, x):
     return -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - w @ m.sv)
 
 
+def svc_decision_and_gradient(m: DeviceMaterial, x):
+    """Decision function AND its gradient from ONE (N, nsv) kernel-matrix
+    evaluation — the distance matmul + exp dominate the return map's cost,
+    so sharing them between f and grad nearly halves HBM traffic per Newton
+    iteration."""
+    d2 = (jnp.sum(x * x, axis=-1)[:, None]
+          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
+          - 2. * x @ m.sv.T)
+    k = jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
+    f = k @ m.dc + m.rho
+    w = m.dc[None, :] * k
+    g = -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - w @ m.sv)
+    return f, g
+
+
 def yf(m: DeviceMaterial, sig, peeq):
     """Yield function: SVC decision or seq - sflow; sig (N, 6), peeq (N,)."""
     if m.is_svc:
@@ -133,6 +148,14 @@ def fgrad(m: DeviceMaterial, sig):
     g4 = 3. * hp[4] * sdev[..., 4] / seq
     g5 = 3. * hp[5] * sdev[..., 5] / seq
     return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
+
+
+def yf_and_fgrad(m: DeviceMaterial, sig, peeq):
+    """Fused yield function + gradient (one kernel-matrix pass for SVC)."""
+    if m.is_svc:
+        f, g = svc_decision_and_gradient(m, sig / m.scale_seq)
+        return f, g / m.scale_seq
+    return yf(m, sig, peeq), fgrad(m, sig)
 
 
 def ml_yf_dist(m: DeviceMaterial, sig, peeq, maxmarch=400):
@@ -391,11 +414,14 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         else:
             toler = yf_tolerance * (m.sy + peeq_in * m.khard)
         sig_tr = sig_in + deps_s @ CV.T
-        f_tr = yf(m, sig_tr, peeq_in)
+        # one batched yf call for trial and start states (a single 2N-row
+        # kernel matmul beats two N-row ones on the MXU)
+        f2 = yf(m, jnp.concatenate([sig_tr, sig_in], axis=0),
+                jnp.concatenate([peeq_in, peeq_in], axis=0))
+        f_tr, f0 = f2[:sig_in.shape[0]], f2[sig_in.shape[0]:]
         plastic = f_tr > toler
         # elastic fraction of this substep (linear interpolation of f along
         # the trial path) — used to blend the reported secant tangent
-        f0 = yf(m, sig_in, peeq_in)
         alpha = jnp.where(plastic & (f0 < 0.),
                           -f0 / jnp.where(f_tr - f0 == 0., 1., f_tr - f0),
                           jnp.where(plastic, 0., 1.))
@@ -404,8 +430,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         def body(s):
             sig, depl, it, _ = s
             peeq = jt.eps_eq(epl0 + depl)
-            f = yf(m, sig, peeq)
-            a = fgrad(m, sig)
+            f, a = yf_and_fgrad(m, sig, peeq)
             ca = a @ CV.T
             denom = jnp.sum(ca * a, axis=-1) + m.khard
             denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
@@ -430,13 +455,14 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         sig, depl, _, _ = jax.lax.while_loop(
             cond, body,
             (sig_tr, depl_in, 0, jnp.where(plastic, f_tr, 0.)))
-        f_end = yf(m, sig, jt.eps_eq(epl0 + depl))
+        # lam == 0 for non-plastic lanes inside the loop, so masking is a
+        # no-op safeguard; apply it before the single fused f/grad pass
         sig = jnp.where(plastic[:, None], sig, sig_tr)
         depl = jnp.where(plastic[:, None], depl, depl_in)
         # substep tangent: alpha-blend of elastic stiffness and the
         # consistent tangent at the substep end state (path-average over
         # substeps approximates the secant the FE solver needs)
-        a = fgrad(m, sig)
+        f_end, a = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl))
         ca = a @ CV.T
         denom = jnp.sum(ca * a, axis=-1) + m.khard
         denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
