@@ -198,6 +198,113 @@ def make_schwarz_mg(sm: StripMesh, elstiff_blocks, min_size=8):
     return precon
 
 
+def _coarse_weights(sm: StripMesh, nyc=None):
+    """Separable bilinear weights for the strip-spanning coarse space of the
+    two-level Schwarz preconditioner: coarse x-nodes at the strip boundaries
+    (one per interface + domain edges), ``nyc`` coarse y-nodes.  Returns
+    (Wx_blocks (D, NXd+1, D+1) sharded, Wy (nnY, nyc) replicated, nyc)."""
+    D, NXd, nnY = sm.D, sm.NXd, sm.nnY
+    nyc = min(nnY, 9) if nyc is None else min(nnY, nyc)
+    xc = np.arange(D + 1) * NXd
+    Wx = np.zeros((D, NXd + 1, D + 1))
+    for d in range(D):
+        xg = d * NXd + np.arange(NXd + 1)
+        for i in range(D + 1):
+            e = np.zeros(D + 1)
+            e[i] = 1.
+            Wx[d, :, i] = np.interp(xg, xc, e)
+    yc = np.linspace(0., nnY - 1., nyc)
+    k = np.arange(nnY)
+    Wy = np.zeros((nnY, nyc))
+    for m in range(nyc):
+        e = np.zeros(nyc)
+        e[m] = 1.
+        Wy[:, m] = np.interp(k, yc, e)
+    Wx_b = jax.device_put(jnp.asarray(Wx, sm.dtype),
+                          NamedSharding(sm.mesh, P('x')))
+    return Wx_b, jnp.asarray(Wy, sm.dtype), nyc
+
+
+def build_coarse_inv(sm: StripMesh, Ke_blocks, nyc=None):
+    """Galerkin coarse operator Kc = P^T K P of the strip-spanning coarse
+    space, assembled from per-device element contributions (one batched
+    K-apply of all coarse basis functions, psum'd), then inverted
+    redundantly on every device.  The duplicated boundary columns hold
+    *partial* element sums per device, so the plain P^T followed by psum
+    assembles each element exactly once."""
+    NXd, NY, nnY, D = sm.NXd, sm.NY, sm.nnY, sm.D
+    Wx_b, Wy, nyc = _coarse_weights(sm, nyc)
+    nc2 = (D + 1) * nyc * 2
+
+    @partial(shard_map, mesh=sm.mesh,
+             in_specs=(P('x'), P('x'), P('x')), out_specs=P())
+    def assemble(Ke_b, Wx_bb, fixed_b):
+        Ke = Ke_b[0]
+        Wx = Wx_bb[0]
+        gfix = fixed_b[0]
+        eye = jnp.eye(nc2, dtype=sm.dtype).reshape(nc2, D + 1, nyc, 2)
+
+        def prolong(c):
+            z = jnp.einsum('ja,kb,abc->jkc', Wx, Wy, c)
+            return jnp.where(gfix, 0., z)
+
+        def lapply(v):
+            ue = _gather_local(v, NXd, NY)
+            fe = jnp.einsum('eij,ej->ei', Ke, ue,
+                            preferred_element_type=sm.dtype)
+            return jnp.where(gfix, 0., _scatter_local(fe, NXd, NY, nnY))
+
+        def restrict(v):
+            return jnp.einsum('ja,kb,jkc->abc', Wx, Wy, v).reshape(-1)
+
+        E = jax.vmap(prolong)(eye)
+        Kc_loc = jax.vmap(lambda e: restrict(lapply(e)))(E)
+        return jax.lax.psum(Kc_loc, 'x')
+
+    Kc = assemble(Ke_blocks, Wx_b, sm.fixed)
+    # coarse dofs with (near-)empty support after Dirichlet masking would
+    # make Kc singular — replace them by identity rows/cols
+    dKc = jnp.diagonal(Kc)
+    bad = dKc <= 1e-10 * jnp.max(dKc)
+    Kc = jnp.where(bad[:, None] | bad[None, :], 0., Kc)
+    Kc = Kc + jnp.diag(jnp.where(bad, 1., 0.).astype(Kc.dtype))
+    return jnp.linalg.inv(Kc), Wx_b, Wy, nyc
+
+
+def make_schwarz_two_level(sm: StripMesh, elstiff_blocks, Ke_blocks,
+                           min_size=8, nyc=None):
+    """Two-level additive Schwarz: local multigrid V-cycle per strip
+    (``make_schwarz_mg``) PLUS a coarse correction on the strip-spanning
+    coarse grid — the coarse space carries the long-range coupling that
+    one-level Schwarz cannot, making iteration counts (nearly) independent
+    of the number of strips.  M^-1 r = M_schwarz^-1 r + P Kc^-1 P^T r."""
+    local_pre = make_schwarz_mg(sm, elstiff_blocks, min_size=min_size)
+    Kc_inv, Wx_b, Wy, nyc = build_coarse_inv(sm, Ke_blocks, nyc)
+    D = sm.D
+
+    @partial(shard_map, mesh=sm.mesh,
+             in_specs=(P('x'), P('x'), P('x'), P(), P('x')),
+             out_specs=P('x'))
+    def coarse_corr(r_blocks, fixed_blocks, own_blocks, Kc_inv_r, Wx_bb):
+        r = r_blocks[0]
+        gfix = fixed_blocks[0]
+        own = own_blocks[0]
+        Wx = Wx_bb[0]
+        rm = jnp.where(gfix, 0., r) * own     # count duplicated columns once
+        rc = jnp.einsum('ja,kb,jkc->abc', Wx, Wy, rm).reshape(-1)
+        rc = jax.lax.psum(rc, 'x')
+        c = (Kc_inv_r @ rc).reshape(D + 1, nyc, 2)
+        zc = jnp.einsum('ja,kb,abc->jkc', Wx, Wy, c)
+        return jnp.where(gfix, 0., zc)[None]
+
+    def precon(r, el_blocks, fixed_blocks, diag_blocks):
+        z = local_pre(r, el_blocks, fixed_blocks, diag_blocks)
+        zc = coarse_corr(r, fixed_blocks, sm.own, Kc_inv, Wx_b)
+        return z + zc
+
+    return precon
+
+
 def cg_solve_strip(sm: StripMesh, Ke_blocks, rhs, x0, diag, tol=1e-8,
                    maxiter=1000, precon=None):
     """Preconditioned CG on the strip-decomposed operator.  All vectors
@@ -238,7 +345,7 @@ def cg_solve_strip(sm: StripMesh, Ke_blocks, rhs, x0, diag, tol=1e-8,
 @partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     mat: con.DeviceMaterial, load_frac=1.0, n_inner=2,
-                    cg_tol=1e-8, nsub=4, schwarz=True):
+                    cg_tol=1e-8, nsub=4, schwarz=2):
     """One load step on the strip-decomposed mesh: CG solve (halo-exchange
     K-apply), element-local batched return map (zero communication), tangent
     update, re-solve, final consistent response.  Returns updated
@@ -271,7 +378,11 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
         diag = diag_of(Ke)
         M = None
         if schwarz:
-            pre = make_schwarz_mg(sm, elstiff_blocks)
+            # schwarz=2 adds the strip-spanning coarse correction
+            if schwarz == 2:
+                pre = make_schwarz_two_level(sm, elstiff_blocks, Ke)
+            else:
+                pre = make_schwarz_mg(sm, elstiff_blocks)
             M = lambda r: pre(r, elstiff_blocks, sm.fixed, diag)
         du, res, it = cg_solve_strip(sm, Ke, rhs, du_bc, diag,
                                      tol=cg_tol, precon=M)

@@ -81,3 +81,24 @@ def test_strip_plastic_step_matches_single():
     sig1, epl1, du, dd = sh.strip_load_step(sm, el0, sig0, epl0, mat, 0.5, 2)
     assert abs(float(dd['glob_sig'][1]) - float(d1['glob_sig'][1])) < 5e-3 * \
         abs(float(d1['glob_sig'][1]))
+
+
+def test_two_level_schwarz_iteration_counts():
+    """The strip-spanning coarse grid must cut CG iterations to a small,
+    size-independent count (two-level additive Schwarz property)."""
+    dtype = jnp.float32
+    mat = g._flagship_material(dtype)
+    CV = g._elastic_cv(dtype)
+    sm = sh.StripMesh(64, 16, LX=4., LY=1., uniax='y', eps_tot=0.002,
+                      n_devices=8, dtype=dtype)
+    el0 = sm.shard_elements(
+        np.broadcast_to(np.asarray(CV), (64 * 16, 6, 6)).copy())
+    sig0 = sm.shard_elements(np.zeros((64 * 16, 6)))
+    epl0 = sm.shard_elements(np.zeros((64 * 16, 6)))
+    _, _, _, d_no = sh.strip_load_step(sm, el0, sig0, epl0, mat, 0.5, 2,
+                                       1e-8, 4, False)
+    _, _, _, d_2l = sh.strip_load_step(sm, el0, sig0, epl0, mat, 0.5, 2,
+                                       1e-8, 4, 2)
+    assert int(d_2l['cg_iters']) < 40 < int(d_no['cg_iters'])
+    assert abs(float(d_2l['glob_sig'][1]) - float(d_no['glob_sig'][1])) \
+        < 1e-3 * abs(float(d_no['glob_sig'][1]))
