@@ -68,3 +68,12 @@ def test_notebooks_execute(tmp_path, monkeypatch):
                 if cell['cell_type'] == 'code':
                     exec(''.join(cell['source']), ns)
     plt.close('all')
+
+
+def test_elastic_coefficients_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import elastic_coefficients
+    C = elastic_coefficients.main(plot=False)
+    assert C.shape == (6, 6)
+    np.testing.assert_allclose(C, C.T, atol=1e-8)
+    assert C[0, 0] > C[3, 3] > 0.
