@@ -69,14 +69,17 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
         sgl.append(np.asarray(diag['glob_sig'], dtype=float))
         egl.append(np.asarray(diag['glob_eps'], dtype=float))
         epgl.append(np.asarray(diag['glob_epl'], dtype=float))
-    # write back: device node numbering == host structured numbering
-    model.u = np.asarray(state.u, dtype=float)
+    # write back: device node numbering == host structured numbering;
+    # device layout is component-major (2, nnX, nnY) planes -> interleave
+    model.u = np.asarray(state.u,
+                         dtype=float).transpose(1, 2, 0).reshape(-1)
     # nodal forces from the element stresses.  The element-average stress
     # convention sums the 4 Gauss-point contributions (sigma_bar = sum_g
     # sigma_g), so the consistent internal force is (Jac*w/ngp) * Bsum^T
     # sigma_bar.
     fe = (md.jacw / 4.) * jnp.einsum('ai,ea->ei', md.Bsum, state.sig)
-    model.f = np.asarray(fek.scatter_element(md, fe), dtype=float)
+    f_dev = np.asarray(fek.scatter_element(md, fe), dtype=float)
+    model.f = f_dev.transpose(1, 2, 0).reshape(-1)
     sig = np.asarray(state.sig, dtype=float)
     eps = np.asarray(state.eps, dtype=float)
     epl = np.asarray(state.epl, dtype=float)

@@ -27,15 +27,24 @@ from pylabfea_tpu.ops import jtensors as jt
 
 class MeshData(NamedTuple):
     """Structured-mesh arrays for the device solver (single material zone
-    per instance; multiple zones = multiple MeshData + summed K-apply)."""
-    dofs: jnp.ndarray        # (Nel, 8) int32 global dof indices
+    per instance; multiple zones = multiple MeshData + summed K-apply).
+
+    DOF layout: on structured grids (``grid`` set) nodal vectors are
+    **component-major 2-D planes** of shape (2, nnX, nnY) — the large nnY
+    axis lands on the TPU lane dimension, making the stencil gather/scatter
+    and the Jacobi/multigrid smoothers vector-unit-efficient (the
+    interleaved (node, dof) layout wastes 126/128 lanes and measured 8x
+    slower).  With ``grid=None`` (unstructured / sharded element path)
+    vectors are flat (Ndof,) with dof = comp * nnode + node — the raveled
+    twin of the same ordering."""
+    dofs: jnp.ndarray        # (Nel, 8) int32 global dof indices (flat layout)
     B: jnp.ndarray           # (ngp, 6, 8) shared B matrices (uniform elements)
     Bsum: jnp.ndarray        # (6, 8) wght * sum_g B (element-average strain)
     jacw: jnp.ndarray        # scalar Jac * wght (uniform elements)
     vel: jnp.ndarray         # scalar element volume
-    fixed: jnp.ndarray       # (Ndof,) bool displacement-BC mask
-    fixed_val: jnp.ndarray   # (Ndof,) prescribed displacement values (per unit load)
-    force: jnp.ndarray       # (Ndof,) external force pattern (per unit load)
+    fixed: jnp.ndarray       # (2, nnX, nnY) | (Ndof,) bool displacement-BC mask
+    fixed_val: jnp.ndarray   # prescribed displacement values (per unit load)
+    force: jnp.ndarray       # external force pattern (per unit load)
     ndof: int                # static (aux data)
     nel: int                 # static (aux data)
     grid: tuple              # static (NX, NY, lx, ly, uniax) structured info, else None
@@ -103,23 +112,20 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     ih = np.arange(NX * NY)
     n1 = (ih // NY) * nnY + ih % NY
     nodes = np.stack([n1, n1 + 1, n1 + nnY, n1 + nnY + 1], axis=1)
-    dofs = np.stack([nodes * 2 + d for d in range(2)], axis=2).reshape(-1, 8)
-    # node positions
-    jx = np.arange(nnode) // nnY
-    ky = np.arange(nnode) % nnY
-    fixed = np.zeros(ndof, dtype=bool)
-    fixed_val = np.zeros(ndof)
-    # left: ux = 0; bottom: uy = 0
-    fixed[2 * np.where(jx == 0)[0]] = True
-    fixed[2 * np.where(ky == 0)[0] + 1] = True
+    # flat dof layout: comp-major (dof = c * nnode + node) — the raveled
+    # twin of the (2, nnX, nnY) plane layout used on structured grids
+    dofs = np.stack([nodes + d * nnode for d in range(2)],
+                    axis=2).reshape(-1, 8)
+    fixed = np.zeros((2, nnX, nnY), dtype=bool)
+    fixed_val = np.zeros((2, nnX, nnY))
+    fixed[0, 0, :] = True                   # left: ux = 0
+    fixed[1, :, 0] = True                   # bottom: uy = 0
     if uniax == 'y':
-        top = np.where(ky == nnY - 1)[0]
-        fixed[2 * top + 1] = True
-        fixed_val[2 * top + 1] = eps_tot * LY
+        fixed[1, :, -1] = True              # top: uy prescribed
+        fixed_val[1, :, -1] = eps_tot * LY
     else:
-        right = np.where(jx == nnX - 1)[0]
-        fixed[2 * right] = True
-        fixed_val[2 * right] = eps_tot * LX
+        fixed[0, -1, :] = True              # right: ux prescribed
+        fixed_val[0, -1, :] = eps_tot * LX
     Bs = _quad_B(lx, ly)
     vel = lx * ly * thick
     return MeshData(
@@ -130,36 +136,80 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         vel=jnp.asarray(vel, dtype=dtype),
         fixed=jnp.asarray(fixed),
         fixed_val=jnp.asarray(fixed_val, dtype=dtype),
-        force=jnp.zeros(ndof, dtype=dtype),
+        force=jnp.zeros((2, nnX, nnY), dtype=dtype),
         ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax))
 
 
 _CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
+def _split(v):
+    """(2, nnX, nnY) stacked planes -> per-component tuple.  The solvers
+    carry the TUPLE through lax loops: with a stacked leading-2 axis XLA
+    assigns some loop carries a (2, 128)-tiled layout (component axis on
+    sublanes, 4x waste) and inserts relayout copies every CG iteration —
+    observed 10 ms/copy at 1024^2.  Separate (nnX, nnY) planes always get
+    the natural (8, 128) tiling."""
+    return (v[0], v[1])
+
+
+def _merge(t):
+    return jnp.stack(t, 0)
+
+
+def _gather_planes(md: MeshData, v):
+    """Nodal plane tuple (ux, uy) -> tuple of 8 (NX, NY) element dof planes
+    (corner-major, component-minor — matches the element dof order) via
+    static shifted slices; no dynamic gather, no relayout."""
+    NX, NY = md.grid[:2]
+    out = []
+    for dx, dy in _CORNERS:
+        out.append(v[0][dx:dx + NX, dy:dy + NY])
+        out.append(v[1][dx:dx + NX, dy:dy + NY])
+    return tuple(out)
+
+
+def _scatter_planes(md: MeshData, fp):
+    """Tuple of 8 (NX, NY) element dof planes -> nodal plane tuple
+    (stencil scatter-add via static shifted-slice adds)."""
+    NX, NY = md.grid[:2]
+    dt = fp[0].dtype
+    out = [jnp.zeros((NX + 1, NY + 1), dt), jnp.zeros((NX + 1, NY + 1), dt)]
+    for a, (dx, dy) in enumerate(_CORNERS):
+        out[0] = out[0].at[dx:dx + NX, dy:dy + NY].add(fp[2 * a])
+        out[1] = out[1].at[dx:dx + NX, dy:dy + NY].add(fp[2 * a + 1])
+    return (out[0], out[1])
+
+
+def _contract_planes(Kp, up):
+    """fp_i = sum_j Kp[i, j] * up_j — 64 lane-wide fused multiply-adds."""
+    return tuple(sum(Kp[i, j] * up[j] for j in range(8)) for i in range(8))
+
+
+def _as_planes_K(md: MeshData, Ke):
+    """Accept element stiffness in rows layout (Nel, 8, 8) or planes layout
+    (8, 8, NX, NY); return planes."""
+    if Ke.ndim == 4:
+        return Ke
+    NX, NY = md.grid[:2]
+    return jnp.moveaxis(Ke, 0, -1).reshape(8, 8, NX, NY)
+
+
 def gather_element(md: MeshData, v):
-    """Nodal vector -> per-element (Nel, 8) local dof values.  On structured
-    meshes this is four static shifted slices of the (nnX, nnY, 2) grid —
-    no dynamic gather, which XLA/TPU compiles to cheap pads."""
+    """Nodal vector -> per-element (Nel, 8) local dof values (rows layout,
+    for host-style consumers; the solver paths use ``_gather_planes``)."""
     if md.grid is not None:
-        NX, NY = md.grid[:2]
-        vg = v.reshape(NX + 1, NY + 1, 2)
-        parts = [vg[dx:dx + NX, dy:dy + NY, :] for dx, dy in _CORNERS]
-        return jnp.concatenate(parts, axis=-1).reshape(NX * NY, 8)
+        return jnp.stack(_gather_planes(md, _split(v)), 0).reshape(
+            8, md.nel).T
     return v[md.dofs]
 
 
 def scatter_element(md: MeshData, fe):
-    """Per-element (Nel, 8) contributions -> nodal vector (scatter-add).
-    Structured meshes use four static shifted-slice adds (stencil form)
-    instead of a dynamic scatter."""
+    """Per-element (Nel, 8) contributions -> nodal vector (scatter-add)."""
     if md.grid is not None:
         NX, NY = md.grid[:2]
-        f = fe.reshape(NX, NY, 4, 2)
-        out = jnp.zeros((NX + 1, NY + 1, 2), fe.dtype)
-        for a, (dx, dy) in enumerate(_CORNERS):
-            out = out.at[dx:dx + NX, dy:dy + NY, :].add(f[:, :, a, :])
-        return out.reshape(-1)
+        f8 = fe.T.reshape(8, NX, NY)
+        return _merge(_scatter_planes(md, tuple(f8[i] for i in range(8))))
     return jnp.zeros(md.ndof, fe.dtype).at[md.dofs.reshape(-1)].add(
         fe.reshape(-1))
 
@@ -170,74 +220,157 @@ def element_stiffness(md: MeshData, elstiff):
                                 preferred_element_type=elstiff.dtype)
 
 
+def elstiff_planes(md: MeshData, elstiff):
+    """Tangent-stiffness field in planes layout (36, NX, NY).  Accepts the
+    rows layout (Nel, 6, 6) and transposes (one relayout); planes pass
+    through."""
+    if elstiff.ndim == 3 and elstiff.shape[0] == 36:
+        return elstiff
+    NX, NY = md.grid[:2]
+    return elstiff.reshape(md.nel, 36).T.reshape(36, NX, NY)
+
+
+def element_stiffness_planes(md: MeshData, elstiff):
+    """Element stiffness in planes layout (8, 8, NX, NY): 64 (NX, NY) planes
+    so the K-apply contraction runs as lane-wide fused multiply-adds.
+
+    Built as one (64, 36) static matrix contraction against the (36, NX, NY)
+    tangent planes — M[(i,j),(a,b)] = jacw * sum_g B[g,a,i] B[g,b,j] — which
+    XLA maps to the MXU; no per-element (8, 8) minor dims anywhere."""
+    NX, NY = md.grid[:2]
+    els = elstiff_planes(md, elstiff)
+    M = md.jacw * jnp.einsum('gai,gbj->ijab', md.B, md.B,
+                             preferred_element_type=els.dtype)
+    Ke = jnp.einsum('kl,lxy->kxy', M.reshape(64, 36), els,
+                    preferred_element_type=els.dtype)
+    return Ke.reshape(8, 8, NX, NY)
+
+
+def k_apply_t(md: MeshData, Kp, v, fixed):
+    """Matrix-free K @ v on plane TUPLES with identity rows on fixed dofs
+    (the fast path used inside the grid solvers).  Measured 8x faster than
+    the interleaved-dof rows formulation on TPU v5e (0.48 vs 3.9 ms at
+    512^2); the tuple form additionally avoids XLA's (2, 128)-tiled loop
+    carries (see ``_split``)."""
+    vm = tuple(jnp.where(f, 0., x) for f, x in zip(fixed, v))
+    up = _gather_planes(md, vm)
+    fp = _contract_planes(Kp, up)
+    out = _scatter_planes(md, fp)
+    return tuple(jnp.where(f, x, o) for f, x, o in zip(fixed, v, out))
+
+
 def k_apply(md: MeshData, Ke, v):
-    """Matrix-free K @ v with identity rows on fixed dofs."""
+    """Matrix-free K @ v with identity rows on fixed dofs.  On structured
+    grids ``Ke`` may be rows (Nel, 8, 8) or planes (8, 8, NX, NY) layout
+    and ``v`` is (2, nnX, nnY) stacked planes."""
+    if md.grid is not None:
+        out = k_apply_t(md, _as_planes_K(md, Ke), _split(v),
+                        _split(md.fixed))
+        return _merge(out)
     vm = jnp.where(md.fixed, 0., v)
-    ue = gather_element(md, vm)
+    ue = vm[md.dofs]
     fe = jnp.einsum('eij,ej->ei', Ke, ue,
                     preferred_element_type=v.dtype)
-    out = scatter_element(md, fe)
+    out = jnp.zeros(md.ndof, fe.dtype).at[md.dofs.reshape(-1)].add(
+        fe.reshape(-1))
     return jnp.where(md.fixed, v, out)
+
+
+def k_diag_t(md: MeshData, Kp, fixed):
+    """Diagonal of K as a plane tuple, 1 on fixed dofs."""
+    de = tuple(Kp[i, i] for i in range(8))
+    d = _scatter_planes(md, de)
+    return tuple(jnp.where(f, 1., x) for f, x in zip(fixed, d))
 
 
 def k_diag(md: MeshData, Ke):
     """Diagonal of K (Jacobi preconditioner), 1 on fixed dofs."""
+    if md.grid is not None:
+        return _merge(k_diag_t(md, _as_planes_K(md, Ke), _split(md.fixed)))
     de = jnp.diagonal(Ke, axis1=1, axis2=2)
     d = scatter_element(md, de)
     return jnp.where(md.fixed, 1., d)
 
 
+def _dot(a, b):
+    """Pytree/shape-agnostic dot product (no ravel -> no TPU relayout)."""
+    return sum(jnp.sum(x * y) for x, y in zip(jax.tree_util.tree_leaves(a),
+                                              jax.tree_util.tree_leaves(b)))
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+def _axpy(a, x, y):
+    """a * x + y over pytrees."""
+    return jax.tree_util.tree_map(lambda u, v: a * u + v, x, y)
+
+
 def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
-    """Jacobi-preconditioned conjugate gradients under lax.while_loop."""
-    minv = 1. / diag
-    r = b - apply_fn(x0)
-    z = minv * r
+    """Jacobi-preconditioned conjugate gradients under lax.while_loop.
+    Vectors may be arrays or pytrees of planes (grid fast path)."""
+    tmap = jax.tree_util.tree_map
+    minv = tmap(lambda d: 1. / d, diag)
+    r = _axpy(-1., apply_fn(x0), b)
+    z = tmap(lambda m, q: m * q, minv, r)
     p = z
-    rz = jnp.vdot(r, z)
-    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    rz = _dot(r, z)
+    bnorm = jnp.maximum(_norm(b), 1e-30)
 
     def cond(s):
         x, r, p, rz, it = s
-        return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
+        return (_norm(r) > tol * bnorm) & (it < maxiter)
 
     def body(s):
         x, r, p, rz, it = s
         Ap = apply_fn(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = minv * r
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
+        alpha = rz / _dot(p, Ap)
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, Ap, r)
+        z = tmap(lambda m, q: m * q, minv, r)
+        rz_new = _dot(r, z)
+        p = _axpy(rz_new / rz, p, z)
         return x, r, p, rz_new, it + 1
 
     x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    return x, jnp.linalg.norm(r) / bnorm, it
+    return x, _norm(r) / bnorm, it
 
 
 def element_deps(md: MeshData, du):
     """Element-average strain increments from nodal displacement increment."""
+    if md.grid is not None:
+        up = _gather_planes(md, _split(du))
+        planes = [sum(md.Bsum[a, i] * up[i] for i in range(8))
+                  for a in range(6)]
+        return jnp.stack(planes, -1).reshape(md.nel, 6)
     ue = gather_element(md, du)
     return jnp.einsum('ai,ei->ea', md.Bsum, ue,
                       preferred_element_type=du.dtype)
 
 
 class SolverState(NamedTuple):
-    u: jnp.ndarray           # (Ndof,)
+    u: jnp.ndarray           # (2, nnX, nnY) grid planes | (Ndof,) flat
     sig: jnp.ndarray         # (Nel, 6)
     epl: jnp.ndarray         # (Nel, 6)
     eps: jnp.ndarray         # (Nel, 6)
-    elstiff: jnp.ndarray     # (Nel, 6, 6)
+    elstiff: jnp.ndarray     # (36, NX, NY) grid planes | (Nel, 6, 6)
 
 
 def init_state(md: MeshData, CV, dtype=jnp.float32):
     CV = jnp.asarray(CV, dtype=dtype)
+    ushape = md.fixed.shape
+    if md.grid is not None:
+        NX, NY = md.grid[:2]
+        elstiff = jnp.broadcast_to(CV.reshape(36, 1, 1), (36, NX, NY))
+    else:
+        elstiff = jnp.broadcast_to(CV, (md.nel, 6, 6))
     return SolverState(
-        u=jnp.zeros(md.ndof, dtype=dtype),
+        u=jnp.zeros(ushape, dtype=dtype),
         sig=jnp.zeros((md.nel, 6), dtype=dtype),
         epl=jnp.zeros((md.nel, 6), dtype=dtype),
         eps=jnp.zeros((md.nel, 6), dtype=dtype),
-        elstiff=jnp.broadcast_to(CV, (md.nel, 6, 6)))
+        elstiff=elstiff)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -275,8 +408,25 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
     def solve_with(elstiff, u):
         from pylabfea_tpu.ops import multigrid as mg
-        Ke = element_stiffness(md, elstiff)
         # rhs: prescribed displacement increment enters as -K @ du_bc
+        if use_mg:
+            # geometric-multigrid preconditioned CG on plane tuples:
+            # mesh-size-independent iteration counts on structured grids
+            Kp = element_stiffness_planes(md, elstiff)
+            fixT = _split(md.fixed)
+            bcT = _split(bc_val)
+            frcT = _split(md.force)
+            du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
+            fp = _contract_planes(Kp, _gather_planes(md, du_bc))
+            neg = _scatter_planes(md, fp)
+            rhs = tuple(jnp.where(f, b, fr * load_frac - q)
+                        for f, b, fr, q in zip(fixT, bcT, frcT, neg))
+            x0 = du_bc
+            levels = mg.build_hierarchy(md, elstiff)
+            duT, res, it = mg.mg_cg_solve(levels, rhs, x0, tol=cg_tol,
+                                          maxiter=min(cg_maxiter, 100))
+            return _merge(duT), Kp, res, it
+        Ke = element_stiffness(md, elstiff)
         du_bc = jnp.where(md.fixed, bc_val, 0.)
         vm = gather_element(md, du_bc)
         fe = jnp.einsum('eij,ej->ei', Ke, vm,
@@ -284,16 +434,9 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
         rhs = -scatter_element(md, fe)
         rhs = jnp.where(md.fixed, bc_val, rhs + md.force * load_frac)
         x0 = jnp.where(md.fixed, bc_val, 0.)
-        if use_mg:
-            # geometric-multigrid preconditioned CG: mesh-size-independent
-            # iteration counts on structured grids
-            levels = mg.build_hierarchy(md, elstiff)
-            du, res, it = mg.mg_cg_solve(levels, rhs, x0, tol=cg_tol,
-                                         maxiter=min(cg_maxiter, 100))
-        else:
-            du, res, it = cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0,
-                                   k_diag(md, Ke), tol=cg_tol,
-                                   maxiter=cg_maxiter)
+        du, res, it = cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0,
+                               k_diag(md, Ke), tol=cg_tol,
+                               maxiter=cg_maxiter)
         return du, Ke, res, it
 
     # single scan: each iteration solves with the current tangent field,
@@ -312,8 +455,14 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
         else:
             fy, sig_n, depl_n, grad = con.response(
                 mat, (state.sig, state.epl), deps, CV)
-        dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1), axis=1)
-        elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
+        if md.grid is not None:
+            gP = elstiff_planes(md, grad)
+            dst = jnp.sqrt(jnp.sum((elstiff - gP) ** 2, axis=0))
+            elstiff = jnp.where(dst > 1.e-3, gP, elstiff)
+        else:
+            dst = jnp.linalg.norm((elstiff - grad).reshape(md.nel, -1),
+                                  axis=1)
+            elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, elstiff)
         return elstiff, (du, fy, sig_n, depl_n, dst.max(), cg_res, cg_it)
 
     elstiff, outs = jax.lax.scan(inner, state.elstiff, None,
@@ -350,16 +499,25 @@ def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
     dtype = elstiff.dtype
     if cg_tol is None:
         cg_tol = 1.e-8 if dtype == jnp.float64 else 1.e-6
+    if md.grid is not None:
+        Kp = element_stiffness_planes(md, elstiff)
+        fixT = _split(md.fixed)
+        bcT = _split(bc_val)
+        du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
+        fp = _contract_planes(Kp, _gather_planes(md, du_bc))
+        neg = _scatter_planes(md, fp)
+        rhs = tuple(jnp.where(f, b, -q)
+                    for f, b, q in zip(fixT, bcT, neg))
+        levels = mg.build_hierarchy(md, elstiff)
+        duT, res, it = mg.mg_cg_solve(levels, rhs, du_bc, tol=cg_tol,
+                                      maxiter=min(cg_maxiter, 100))
+        return _merge(duT), res, it
     Ke = element_stiffness(md, elstiff)
     du_bc = jnp.where(md.fixed, bc_val, 0.)
     vm = gather_element(md, du_bc)
     fe = jnp.einsum('eij,ej->ei', Ke, vm, preferred_element_type=dtype)
     rhs = jnp.where(md.fixed, bc_val, -scatter_element(md, fe))
     x0 = jnp.where(md.fixed, bc_val, 0.)
-    if md.grid is not None:
-        levels = mg.build_hierarchy(md, elstiff)
-        return mg.mg_cg_solve(levels, rhs, x0, tol=cg_tol,
-                              maxiter=min(cg_maxiter, 100))
     return cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0, k_diag(md, Ke),
                     tol=cg_tol, maxiter=cg_maxiter)
 
@@ -376,8 +534,15 @@ def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
     else:
         fy, sig_n, depl_n, grad = con.response(
             mat, (state.sig, state.epl), deps, CV)
-    dst = jnp.linalg.norm((state.elstiff - grad).reshape(md.nel, -1), axis=1)
-    elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad, state.elstiff)
+    if md.grid is not None:
+        gP = elstiff_planes(md, grad)
+        dst = jnp.sqrt(jnp.sum((state.elstiff - gP) ** 2, axis=0))
+        elstiff = jnp.where(dst > 1.e-3, gP, state.elstiff)
+    else:
+        dst = jnp.linalg.norm((state.elstiff - grad).reshape(md.nel, -1),
+                              axis=1)
+        elstiff = jnp.where((dst > 1.e-3)[:, None, None], grad,
+                            state.elstiff)
     return fy, sig_n, depl_n, elstiff, deps, dst.max()
 
 

@@ -36,45 +36,67 @@ def coarsen_mesh(md: fek.MeshData):
 
 
 def coarsen_elstiff(md, elstiff):
-    """Average the 2x2 fine element tangent blocks -> coarse element C."""
+    """Average the 2x2 fine element tangent blocks -> coarse element C.
+    Planes layout (36, NX, NY) in and out (rows accepted for back-compat)."""
     NX, NY = _grid_of(md)
+    if elstiff.ndim == 3 and elstiff.shape[0] == 36:
+        e = elstiff.reshape(36, NX // 2, 2, NY // 2, 2)
+        return e.mean(axis=(2, 4))
     e = elstiff.reshape(NX // 2, 2, NY // 2, 2, 6, 6)
     return e.mean(axis=(1, 3)).reshape(-1, 6, 6)
 
 
-def restrict(fine, NXc, NYc):
+def _fw_kernel(dtype):
+    """Full-weighting 3x3 stencil = bilinear interpolation weights."""
+    w = jnp.asarray([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]],
+                    dtype)
+    return w.reshape(1, 1, 3, 3)
+
+
+def _restrict_plane(fine):
+    # stride-2 3x3 convolution instead of strided slices: XLA keeps the
+    # coarse-level arrays in (8, 128)-tiled 2-D layouts (strided slicing
+    # collapses every coarse level to flat 1-D layouts, which made the
+    # coarse smoothers cost 4x the fine level at 1024^2)
+    out = jax.lax.conv_general_dilated(
+        fine[None, None], _fw_kernel(fine.dtype), window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+    return out[0, 0]
+
+
+def restrict(fine):
     """Restriction = exact transpose of ``prolong`` (weights 1, 1/2, 1/4,
     zero outside the domain), so the V-cycle stays symmetric and CG-safe.
-    Fine grid has 2*N+1 nodes per axis; coarse node (I,J) <-> fine (2I,2J)."""
-    fp = jnp.pad(fine, ((1, 1), (1, 1), (0, 0)), mode='constant')
-    c = (fp[1:-1:2, 1:-1:2]
-         + 0.5 * (fp[0:-2:2, 1:-1:2] + fp[2::2, 1:-1:2]
-                  + fp[1:-1:2, 0:-2:2] + fp[1:-1:2, 2::2])
-         + 0.25 * (fp[0:-2:2, 0:-2:2] + fp[2::2, 0:-2:2]
-                   + fp[0:-2:2, 2::2] + fp[2::2, 2::2]))
-    return c
+    Operates on per-component plane tuples; coarse node (I,J) <-> fine
+    (2I,2J)."""
+    return tuple(_restrict_plane(p) for p in fine)
+
+
+def _prolong_plane(c, nnXf, nnYf):
+    # bilinear prolongation as the exact transpose of ``_restrict_plane``:
+    # the same 3x3 kernel applied to the 2x-dilated coarse grid
+    out = jax.lax.conv_general_dilated(
+        c[None, None], _fw_kernel(c.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+    return out[0, 0]
 
 
 def prolong(coarse, nnXf, nnYf):
-    """Bilinear prolongation (nnXc, nnYc, 2) -> (nnXf, nnYf, 2)."""
-    c = coarse
-    out = jnp.zeros((nnXf, nnYf, c.shape[-1]), c.dtype)
-    out = out.at[::2, ::2].set(c)
-    out = out.at[1::2, ::2].set(0.5 * (c[:-1, :] + c[1:, :]))
-    out = out.at[::2, 1::2].set(0.5 * (c[:, :-1] + c[:, 1:]))
-    out = out.at[1::2, 1::2].set(0.25 * (c[:-1, :-1] + c[1:, :-1]
-                                         + c[:-1, 1:] + c[1:, 1:]))
-    return out
+    """Bilinear prolongation on per-component plane tuples."""
+    return tuple(_prolong_plane(p, nnXf, nnYf) for p in coarse)
 
 
 class MGLevel:
     """One level of the hierarchy: mesh data + assembled element stiffness
-    + Jacobi diagonal."""
+    (planes layout) + Jacobi diagonal and BC mask as plane tuples."""
 
-    def __init__(self, md, Ke, diag):
+    def __init__(self, md, Ke, diag, fixed):
         self.md = md
         self.Ke = Ke
         self.diag = diag
+        self.fixed = fixed
 
 
 def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
@@ -82,8 +104,10 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
     levels = []
     cur_md, cur_el = md, elstiff
     while True:
-        Ke = fek.element_stiffness(cur_md, cur_el)
-        levels.append(MGLevel(cur_md, Ke, fek.k_diag(cur_md, Ke)))
+        Ke = fek.element_stiffness_planes(cur_md, cur_el)
+        fixT = fek._split(cur_md.fixed)
+        levels.append(MGLevel(cur_md, Ke,
+                              fek.k_diag_t(cur_md, Ke, fixT), fixT))
         NX, NY = _grid_of(cur_md)
         if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
             break
@@ -95,34 +119,36 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
 
 
 def _smooth(level: MGLevel, x, b, nu, omega=0.7):
-    """nu damped-Jacobi sweeps on K x = b."""
-    minv = omega / level.diag
+    """nu damped-Jacobi sweeps on K x = b (plane tuples)."""
+    minv = tuple(omega / d for d in level.diag)
 
     def body(_, x):
-        r = b - fek.k_apply(level.md, level.Ke, x)
-        return x + minv * r
+        Kx = fek.k_apply_t(level.md, level.Ke, x, level.fixed)
+        return tuple(xi + m * (bi - ki)
+                     for xi, m, bi, ki in zip(x, minv, b, Kx))
 
     return jax.lax.fori_loop(0, nu, body, x)
 
 
 def v_cycle(levels, b, lvl=0, nu=2):
-    """One symmetric V-cycle solving K e = b approximately (zero initial)."""
+    """One symmetric V-cycle solving K e = b approximately (zero initial);
+    vectors are per-component plane tuples."""
     level = levels[lvl]
-    md = level.md
-    b = jnp.where(md.fixed, 0., b)
+    fix = level.fixed
+    b = tuple(jnp.where(f, 0., bi) for f, bi in zip(fix, b))
+    zero = tuple(jnp.zeros_like(bi) for bi in b)
     if lvl == len(levels) - 1:
-        return _smooth(level, jnp.zeros_like(b), b, 8 * nu)
-    x = _smooth(level, jnp.zeros_like(b), b, nu)
-    r = b - fek.k_apply(md, level.Ke, x)
-    r = jnp.where(md.fixed, 0., r)
-    NX, NY = _grid_of(md)
-    rc = restrict(r.reshape(NX + 1, NY + 1, 2), NX // 2 + 1, NY // 2 + 1)
-    rc = rc.reshape(-1)
+        return _smooth(level, zero, b, 8 * nu)
+    x = _smooth(level, zero, b, nu)
+    Kx = fek.k_apply_t(level.md, level.Ke, x, fix)
+    r = tuple(jnp.where(f, 0., bi - ki) for f, bi, ki in zip(fix, b, Kx))
+    NX, NY = _grid_of(level.md)
+    rc = restrict(r)
     ec = v_cycle(levels, rc, lvl + 1, nu)
-    mdc = levels[lvl + 1].md
-    ec = jnp.where(mdc.fixed, 0., ec)
-    e = prolong(ec.reshape(NX // 2 + 1, NY // 2 + 1, 2), NX + 1, NY + 1)
-    x = x + jnp.where(md.fixed, 0., e.reshape(-1))
+    fc = levels[lvl + 1].fixed
+    ec = tuple(jnp.where(f, 0., ei) for f, ei in zip(fc, ec))
+    e = prolong(ec, NX + 1, NY + 1)
+    x = tuple(xi + jnp.where(f, 0., ei) for xi, f, ei in zip(x, fix, e))
     return _smooth(level, x, b, nu)
 
 
@@ -134,28 +160,30 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200):
     multigrid hierarchy is the binding constraint, not FLOPs.
     """
     level = levels[0]
-    md = level.md
-    apply_fn = lambda v: fek.k_apply(md, level.Ke, v)
-    r0 = jnp.where(md.fixed, 0., b - apply_fn(x0))
-    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
-    p0 = jnp.zeros_like(r0)
+    fix = level.fixed
+    apply_fn = lambda v: fek.k_apply_t(level.md, level.Ke, v, fix)
+    Ax0 = apply_fn(x0)
+    r0 = tuple(jnp.where(f, 0., bi - ai) for f, bi, ai in zip(fix, b, Ax0))
+    bnorm = jnp.maximum(fek._norm(b), 1e-30)
+    p0 = tuple(jnp.zeros_like(ri) for ri in r0)
 
     def cond(s):
         x, r, p, rz, it = s
-        return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
+        return (fek._norm(r) > tol * bnorm) & (it < maxiter)
 
     def body(s):
         x, r, p, rz_prev, it = s
         z = v_cycle(levels, r)
-        rz = jnp.vdot(r, z)
+        rz = fek._dot(r, z)
         beta = jnp.where(it == 0, 0., rz / rz_prev)
-        p = z + beta * p
+        p = fek._axpy(beta, p, z)
         Ap = apply_fn(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = jnp.where(md.fixed, 0., r - alpha * Ap)
+        alpha = rz / fek._dot(p, Ap)
+        x = fek._axpy(alpha, p, x)
+        r = tuple(jnp.where(f, 0., ri - alpha * ai)
+                  for f, ri, ai in zip(fix, r, Ap))
         return x, r, p, rz, it + 1
 
     x, r, p, rz, it = jax.lax.while_loop(
-        cond, body, (x0, r0, p0, jnp.asarray(1., r0.dtype), 0))
-    return x, jnp.linalg.norm(r) / bnorm, it
+        cond, body, (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0))
+    return x, fek._norm(r) / bnorm, it

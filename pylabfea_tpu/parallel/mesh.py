@@ -37,9 +37,9 @@ def shard_mesh_data(md: MeshData, mesh: Mesh) -> MeshData:
         Bsum=dev(md.Bsum, rep),
         jacw=dev(md.jacw, rep),
         vel=dev(md.vel, rep),
-        fixed=dev(md.fixed, rep),
-        fixed_val=dev(md.fixed_val, rep),
-        force=dev(md.force, rep),
+        fixed=dev(md.fixed.reshape(-1), rep),
+        fixed_val=dev(md.fixed_val.reshape(-1), rep),
+        force=dev(md.force.reshape(-1), rep),
         ndof=md.ndof, nel=md.nel, grid=None)
 
 
@@ -48,7 +48,7 @@ def shard_state(state: SolverState, mesh: Mesh) -> SolverState:
     el = NamedSharding(mesh, P('e'))
     rep = NamedSharding(mesh, P())
     return SolverState(
-        u=jax.device_put(state.u, rep),
+        u=jax.device_put(state.u.reshape(-1), rep),
         sig=jax.device_put(state.sig, el),
         epl=jax.device_put(state.epl, el),
         eps=jax.device_put(state.eps, el),

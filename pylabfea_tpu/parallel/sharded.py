@@ -183,12 +183,16 @@ def make_schwarz_mg(sm: StripMesh, elstiff_blocks, min_size=8):
         right_if = jnp.where(idx < D - 1, True, False)
         fix = gfix.at[0].set(gfix[0] | left_if)
         fix = fix.at[-1].set(gfix[-1] | right_if)
-        md_d = md_loc._replace(fixed=fix.reshape(-1))
+        # local grid vectors are (NXd+1, nnY, 2) node-major; the fe_kernels
+        # multigrid uses component-major (2, nnX, nnY) planes
+        fixT = fix.transpose(2, 0, 1)
+        md_d = md_loc._replace(fixed=fixT)
         levels = mg.build_hierarchy(md_d, els, min_size=min_size)
         # coarse levels inherit the *generator's* masks (approximate but
         # SPD-safe as a preconditioner)
-        z = mg.v_cycle(levels, jnp.where(md_d.fixed, 0., r.reshape(-1)))
-        z = z.reshape(r.shape)
+        rT = jnp.where(fixT, 0., r.transpose(2, 0, 1))
+        zt = mg.v_cycle(levels, (rT[0], rT[1]))
+        z = jnp.stack(zt, -1)
         # the local solve is Dirichlet (z = 0) on the interface columns; a
         # Jacobi patch there keeps the preconditioner nonsingular/SPD
         iface = fix & ~gfix

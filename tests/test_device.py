@@ -154,7 +154,8 @@ def test_multichip_sharded_step_matches_single():
                            n_inner=2, cg_maxiter=200)
     np.testing.assert_allclose(np.asarray(d8['glob_sig']),
                                np.asarray(d1['glob_sig']), rtol=5e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
+    np.testing.assert_allclose(np.asarray(s8.u),
+                               np.asarray(s1.u).reshape(-1),
                                rtol=1e-3, atol=1e-5)
 
 

@@ -28,7 +28,8 @@ def test_strip_elastic_matches_single():
     x0 = jnp.where(md.fixed, bc, 0.)
     du1, res1, _ = fek.cg_solve(lambda v: fek.k_apply(md, Ke, v), rhs, x0,
                                 fek.k_diag(md, Ke), tol=1e-12, maxiter=20000)
-    u1 = np.asarray(du1).reshape(NX + 1, NY + 1, 2)
+    # device solver uses component-major planes; strip layout is node-major
+    u1 = np.asarray(du1).transpose(1, 2, 0)
 
     sm = sh.StripMesh(NX, NY, LX=4., LY=1., uniax='y', eps_tot=0.002,
                       n_devices=8, dtype=dtype)

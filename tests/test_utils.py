@@ -97,7 +97,10 @@ def test_multigrid_mesh_independent_iterations():
             md, jnp.einsum('eij,ej->ei', Ke, vm)))
         x0 = jnp.where(md.fixed, bc, 0.)
         levels = mg.build_hierarchy(md, elstiff)
-        x, res, it = mg.mg_cg_solve(levels, rhs, x0, tol=1e-10, maxiter=200)
+        # mg solver operates on per-component plane tuples
+        xT, res, it = mg.mg_cg_solve(levels, (rhs[0], rhs[1]),
+                                     (x0[0], x0[1]), tol=1e-10, maxiter=200)
+        x = jnp.stack(xT, 0)
         assert float(res) < 1e-9
         iters.append(int(it))
         # solution must match plain Jacobi-CG
