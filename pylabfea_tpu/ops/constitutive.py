@@ -75,6 +75,32 @@ def device_material_from(mat, dtype=jnp.float32):
 # -----------------------------------------------------------------
 # equivalent stress / yield function / gradient
 # -----------------------------------------------------------------
+def _mm(a, b):
+    """Matmul at HIGHEST precision: TPU's default single-pass bf16 matmul
+    loses ~1e-3 relative, which the yield-locus root marching amplifies to
+    percent-level stress errors (measured 3.5% vs CPU f64 at yield onset;
+    full-f32 arithmetic restores 1e-4 agreement).  Used where the error
+    feeds the yield-function value; cheap (matvec / 6-wide) contractions."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _rbf_d2(x, sv):
+    """Pairwise squared distances |x|^2 + |sv|^2 - 2 x @ sv.T with the cross
+    term at HIGHEST precision.
+
+    Precision/formulation shootout on TPU v5e (2^20 x 512, f+grad per
+    call): DEFAULT (1-pass bf16) 11.3 ms but 4e-1 abs error in f —
+    percent-level stress errors after yield-locus root marching; HIGH
+    (3-pass) 11.8 ms / 5e-3 error — same order as yf_tolerance, unsafe;
+    HIGHEST (6-pass) 15.0 ms / 2e-5 error; exact VPU subtract-square
+    18.8 ms.  HIGHEST matches the CPU f64 ground truth to ~1e-5 relative
+    in the FE solution, at ~60% of the bf16-only throughput."""
+    d2 = (jnp.sum(x * x, axis=-1)[:, None]
+          + jnp.sum(sv * sv, axis=-1)[None, :]
+          - 2. * _mm(x, sv.T))
+    return jnp.maximum(d2, 0.)
+
+
 def seq_hill(m: DeviceMaterial, sig):
     """Hill-6p equivalent stress (J2 when all parameters are 1) with Drucker
     hydrostatic term; sig (..., 6)."""
@@ -92,20 +118,15 @@ def seq_hill(m: DeviceMaterial, sig):
 def svc_decision(m: DeviceMaterial, x):
     """SVC decision function on feature rows x (N, ndof).  The (N, nsv)
     distance matrix is evaluated in matmul form so XLA maps it to the MXU."""
-    d2 = (jnp.sum(x * x, axis=-1)[:, None]
-          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
-          - 2. * x @ m.sv.T)
-    k = jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
-    return k @ m.dc + m.rho
+    k = jnp.exp(-m.gamma * _rbf_d2(x, m.sv))
+    return _mm(k, m.dc) + m.rho
 
 def svc_gradient(m: DeviceMaterial, x):
     """Gradient of the SVC decision function w.r.t. features (N, ndof)."""
-    d2 = (jnp.sum(x * x, axis=-1)[:, None]
-          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
-          - 2. * x @ m.sv.T)
-    w = m.dc[None, :] * jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
-    # sum_s w_s * (x - sv_s) = (sum_s w_s) x - w @ sv  — matmul form
-    return -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - w @ m.sv)
+    w = m.dc[None, :] * jnp.exp(-m.gamma * _rbf_d2(x, m.sv))
+    # sum_s w_s * (x - sv_s) = (sum_s w_s) x - w @ sv — matmul form; a
+    # bf16 matmul here measurably biases the flow direction (0.5% stress)
+    return -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - _mm(w, m.sv))
 
 
 def svc_decision_and_gradient(m: DeviceMaterial, x):
@@ -113,13 +134,10 @@ def svc_decision_and_gradient(m: DeviceMaterial, x):
     evaluation — the distance matmul + exp dominate the return map's cost,
     so sharing them between f and grad nearly halves HBM traffic per Newton
     iteration."""
-    d2 = (jnp.sum(x * x, axis=-1)[:, None]
-          + jnp.sum(m.sv * m.sv, axis=-1)[None, :]
-          - 2. * x @ m.sv.T)
-    k = jnp.exp(-m.gamma * jnp.maximum(d2, 0.))
-    f = k @ m.dc + m.rho
+    k = jnp.exp(-m.gamma * _rbf_d2(x, m.sv))
+    f = _mm(k, m.dc) + m.rho
     w = m.dc[None, :] * k
-    g = -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - w @ m.sv)
+    g = -2. * m.gamma * (jnp.sum(w, axis=-1)[:, None] * x - _mm(w, m.sv))
     return f, g
 
 
@@ -206,9 +224,9 @@ def yf_dist(m: DeviceMaterial, sig, peeq):
 # -----------------------------------------------------------------
 def epl_dot(m: DeviceMaterial, sig, peeq, CV, deps):
     """Associated plastic strain increment (Crisfield ch. 6)."""
-    yfun = yf(m, sig + deps @ CV.T, peeq)
+    yfun = yf(m, sig + _mm(deps, CV.T), peeq)
     a = fgrad(m, sig)
-    ca = a @ CV.T
+    ca = _mm(a, CV.T)
     hh = jnp.sum(ca * a, axis=-1) + m.khard
     lam = jnp.sum(ca * deps, axis=-1) / hh
     pdot = lam[:, None] * a
@@ -218,7 +236,7 @@ def epl_dot(m: DeviceMaterial, sig, peeq, CV, deps):
 def c_tan(m: DeviceMaterial, sig, CV):
     """Consistent tangent Ct = C - (Ca (x) Ca) / (a^T C a + khard)."""
     a = fgrad(m, sig)
-    ca = a @ CV.T
+    ca = _mm(a, CV.T)
     hh = jnp.sum(ca * a, axis=-1) + m.khard
     return CV[None] - ca[:, :, None] * ca[:, None, :] / hh[:, None, None]
 
@@ -256,7 +274,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     dt = sig0.dtype
     peeq0 = jt.eps_eq(epl0)
     toler = yf_tolerance * (m.sy + peeq0 * m.khard)
-    dsig = deps @ CV.T
+    dsig = _mm(deps, CV.T)
     fy_pred = yf_dist(m, sig0 + dsig, peeq0)
     elastic = fy_pred < toler
 
@@ -269,7 +287,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     seq_dsig = seq_hill(m, dsig) if not m.is_svc else jt.seq_j2_voigt(dsig)
     st_scal = jnp.where(split, 1. + fy0 / seq_dsig, 1.)
     deps_el = deps * (1. - st_scal)[:, None]
-    sig = sig0 + deps_el @ CV.T
+    sig = sig0 + _mm(deps_el, CV.T)
     grad = jnp.where(split[:, None, None],
                      CV[None] * (1. - st_scal)[:, None, None], 0.)
     deps_r = deps - deps_el
@@ -278,7 +296,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     ddepl_t = epl_dot(m, sig, peeq0, CV, deps_r)
     t_st_t = c_tan(m, sig, CV)
     peeq_t = jt.eps_eq(epl0 + ddepl_t)
-    sig_t = sig + jnp.einsum('nij,nj->ni', t_st_t, deps_r)
+    sig_t = sig + jnp.einsum('nij,nj->ni', t_st_t, deps_r, precision=jax.lax.Precision.HIGHEST)
     fy_t = yf_dist(m, sig_t, peeq_t)
     sub = fy_t > toler
     deps_r = jnp.where(sub[:, None], deps_r / maxit, deps_r)
@@ -293,7 +311,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
         ddepl = epl_dot(m, sig, peeq, CV, deps_r)
         t_st = c_tan(m, sig, CV)
         eplt = epl0 + depl + ddepl
-        sig_n = sig + jnp.einsum('nij,nj->ni', t_st, deps_r)
+        sig_n = sig + jnp.einsum('nij,nj->ni', t_st, deps_r, precision=jax.lax.Precision.HIGHEST)
         fy_n = yf_dist(m, sig_n, jt.eps_eq(eplt))
         over = fy_n > toler
         seq_n = seq_hill(m, sig_n) if not m.is_svc else jt.seq_j2_voigt(sig_n)
@@ -413,7 +431,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             toler = jnp.full_like(peeq_in, yf_tolerance)
         else:
             toler = yf_tolerance * (m.sy + peeq_in * m.khard)
-        sig_tr = sig_in + deps_s @ CV.T
+        sig_tr = sig_in + _mm(deps_s, CV.T)
         # one batched yf call for trial and start states (a single 2N-row
         # kernel matmul beats two N-row ones on the MXU)
         f2 = yf(m, jnp.concatenate([sig_tr, sig_in], axis=0),
@@ -431,7 +449,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             sig, depl, it, _ = s
             peeq = jt.eps_eq(epl0 + depl)
             f, a = yf_and_fgrad(m, sig, peeq)
-            ca = a @ CV.T
+            ca = _mm(a, CV.T)
             denom = jnp.sum(ca * a, axis=-1) + m.khard
             denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
             # bidirectional Newton on the yield surface along the flow
@@ -463,7 +481,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         # consistent tangent at the substep end state (path-average over
         # substeps approximates the secant the FE solver needs)
         f_end, a = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl))
-        ca = a @ CV.T
+        ca = _mm(a, CV.T)
         denom = jnp.sum(ca * a, axis=-1) + m.khard
         denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
         Ct = CV[None] - ca[:, :, None] * ca[:, None, :] / denom[:, None, None]

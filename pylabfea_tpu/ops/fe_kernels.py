@@ -217,7 +217,8 @@ def scatter_element(md: MeshData, fe):
 def element_stiffness(md: MeshData, elstiff):
     """Ke[e] = jacw * sum_g B_g^T C_e B_g  — batched (Nel, 8, 8)."""
     return md.jacw * jnp.einsum('gai,eab,gbj->eij', md.B, elstiff, md.B,
-                                preferred_element_type=elstiff.dtype)
+                                preferred_element_type=elstiff.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
 
 
 def elstiff_planes(md: MeshData, elstiff):
@@ -240,9 +241,11 @@ def element_stiffness_planes(md: MeshData, elstiff):
     NX, NY = md.grid[:2]
     els = elstiff_planes(md, elstiff)
     M = md.jacw * jnp.einsum('gai,gbj->ijab', md.B, md.B,
-                             preferred_element_type=els.dtype)
+                             preferred_element_type=els.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
     Ke = jnp.einsum('kl,lxy->kxy', M.reshape(64, 36), els,
-                    preferred_element_type=els.dtype)
+                    preferred_element_type=els.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
     return Ke.reshape(8, 8, NX, NY)
 
 
