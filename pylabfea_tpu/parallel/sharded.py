@@ -9,11 +9,14 @@ contiguous block of element columns and the node columns they touch, and the
 only communication is a **ppermute halo exchange of one node column per
 neighbor per K-apply** (O(nnY) instead of O(Ndof)).
 
-Data layout per device (shard_map body sees the local block):
-  u_loc   (NXd + 1, nnY, 2)  nodal grid incl. one shared boundary column
-  Ke_loc  (NXd * NY, 8, 8)   element stiffness of the owned columns
-The shared boundary column is *duplicated* between neighbors; after the
-local scatter both copies hold partial sums, and one ppermute per direction
+Data layout per device (shard_map body sees the local block) follows the
+TPU-native plane convention of ``ops.fe_kernels``: nodal vectors are
+**tuples of per-component (NXd+1, nnY) planes** (the large nnY axis lands
+on the TPU lane dimension; a stacked or interleaved dof axis wastes lanes
+and provokes (2, 128)-tiled loop carries — see fe_kernels._split), and the
+element stiffness is (8, 8, NXd, NY) planes built per tangent update.  The
+shared boundary column is *duplicated* between neighbors; after the local
+scatter both copies hold partial sums, and one ppermute per direction
 completes them.
 """
 from functools import partial
@@ -27,6 +30,8 @@ from jax import shard_map
 from pylabfea_tpu.ops import fe_kernels as fek
 from pylabfea_tpu.ops import constitutive as con
 
+_CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
 
 class StripMesh:
     """Structured mesh partitioned into x-strips over a device mesh.
@@ -34,6 +39,8 @@ class StripMesh:
     Builds per-device blocks with a duplicated boundary node column:
     device d of D owns element columns [d*NXd, (d+1)*NXd) and node columns
     [d*NXd, d*NXd + NXd] (the last column is shared with device d+1).
+    Nodal fields (``fixed``, ``fixed_val``, ``own``) are tuples of
+    per-component (D, NXd+1, nnY) sharded planes.
     """
 
     def __init__(self, NX, NY, LX=1., LY=1., uniax='y', eps_tot=0.01,
@@ -55,29 +62,32 @@ class StripMesh:
         self.Bsum = jnp.asarray(Bs.sum(axis=0), dtype=dtype)
         self.jacw = self.lx * self.ly * 4.
 
-        # per-device fixed masks / BC values on the local (NXd+1, nnY, 2) grid
-        fixed = np.zeros((D, self.NXd + 1, self.nnY, 2), dtype=bool)
-        val = np.zeros((D, self.NXd + 1, self.nnY, 2))
-        fixed[:, :, 0, 1] = True                      # bottom: uy = 0
-        fixed[0, 0, :, 0] = True                      # left edge: ux = 0
+        # per-device fixed masks / BC values, per component (D, NXd+1, nnY)
+        fixed = np.zeros((2, D, self.NXd + 1, self.nnY), dtype=bool)
+        val = np.zeros((2, D, self.NXd + 1, self.nnY))
+        fixed[1, :, :, 0] = True                      # bottom: uy = 0
+        fixed[0, 0, 0, :] = True                      # left edge: ux = 0
         if uniax == 'y':
-            fixed[:, :, -1, 1] = True                 # top: uy prescribed
-            val[:, :, -1, 1] = self.eps_top
-        self.fixed = jax.device_put(jnp.asarray(fixed),
-                                    NamedSharding(self.mesh, P('x')))
-        self.fixed_val = jax.device_put(jnp.asarray(val, dtype=dtype),
-                                        NamedSharding(self.mesh, P('x')))
+            fixed[1, :, :, -1] = True                 # top: uy prescribed
+            val[1, :, :, -1] = self.eps_top
+        sh = NamedSharding(self.mesh, P('x'))
+        self.fixed = tuple(jax.device_put(jnp.asarray(fixed[c]), sh)
+                           for c in range(2))
+        self.fixed_val = tuple(
+            jax.device_put(jnp.asarray(val[c], dtype=dtype), sh)
+            for c in range(2))
         # ownership weight for reductions over the duplicated column: the
         # shared column (local index NXd) counts on the right neighbor only
-        own = np.ones((D, self.NXd + 1, self.nnY, 2))
+        own = np.ones((D, self.NXd + 1, self.nnY))
         own[:-1, -1] = 0.
-        self.own = jax.device_put(jnp.asarray(own, dtype=dtype),
-                                  NamedSharding(self.mesh, P('x')))
+        own_arr = jax.device_put(jnp.asarray(own, dtype=dtype), sh)
+        self.own = (own_arr, own_arr)
 
     def zeros_u(self):
-        return jax.device_put(
-            jnp.zeros((self.D, self.NXd + 1, self.nnY, 2), self.dtype),
-            NamedSharding(self.mesh, P('x')))
+        sh = NamedSharding(self.mesh, P('x'))
+        z = jax.device_put(
+            jnp.zeros((self.D, self.NXd + 1, self.nnY), self.dtype), sh)
+        return (z, z)
 
     def shard_elements(self, arr_global):
         """(Nel, ...) element array -> (D, NXd*NY, ...) sharded blocks
@@ -88,10 +98,11 @@ class StripMesh:
         return jax.device_put(blocked, NamedSharding(self.mesh, P('x')))
 
 
-def _halo_accumulate(out):
-    """Add the partial sums of the duplicated boundary columns: each device
-    sends its LAST column right and its (completed) FIRST column is sent
-    back; one ppermute per direction over the ICI ring."""
+def _halo_accumulate_plane(out):
+    """Add the partial sums of the duplicated boundary columns of one
+    (NXd+1, nnY) plane: each device sends its LAST column right and its
+    (completed) FIRST column is sent back; one ppermute per direction over
+    the ICI ring."""
     D = jax.lax.axis_size('x')
     if D == 1:
         return out
@@ -109,39 +120,69 @@ def _halo_accumulate(out):
     return out
 
 
-def _gather_local(u_loc, NXd, NY):
-    """Local (NXd+1, nnY, 2) grid -> (NXd*NY, 8) element dof values."""
-    parts = [u_loc[dx:dx + NXd, dy:dy + NY, :]
-             for dx, dy in ((0, 0), (0, 1), (1, 0), (1, 1))]
-    return jnp.concatenate(parts, axis=-1).reshape(NXd * NY, 8)
+def _halo_accumulate(out):
+    """Halo exchange on a per-component plane tuple."""
+    return tuple(_halo_accumulate_plane(p) for p in out)
 
 
-def _scatter_local(fe, NXd, NY, nnY):
-    f = fe.reshape(NXd, NY, 4, 2)
-    out = jnp.zeros((NXd + 1, nnY, 2), fe.dtype)
-    for a, (dx, dy) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        out = out.at[dx:dx + NXd, dy:dy + NY, :].add(f[:, :, a, :])
-    return out
+def _gather_local(u, NXd, NY):
+    """Local plane tuple (ux, uy) of (NXd+1, nnY) -> tuple of 8 (NXd, NY)
+    element dof planes (corner-major, component-minor)."""
+    out = []
+    for dx, dy in _CORNERS:
+        out.append(u[0][dx:dx + NXd, dy:dy + NY])
+        out.append(u[1][dx:dx + NXd, dy:dy + NY])
+    return tuple(out)
+
+
+def _scatter_local(fp, NXd, NY, nnY):
+    """Tuple of 8 (NXd, NY) element dof planes -> local plane tuple."""
+    dt = fp[0].dtype
+    out = [jnp.zeros((NXd + 1, nnY), dt), jnp.zeros((NXd + 1, nnY), dt)]
+    for a, (dx, dy) in enumerate(_CORNERS):
+        out[0] = out[0].at[dx:dx + NXd, dy:dy + NY].add(fp[2 * a])
+        out[1] = out[1].at[dx:dx + NXd, dy:dy + NY].add(fp[2 * a + 1])
+    return (out[0], out[1])
+
+
+def _contract(Kp, up):
+    """fp_i = sum_j Kp[i, j] * up_j (lane-wide fused multiply-adds)."""
+    return tuple(sum(Kp[i, j] * up[j] for j in range(8)) for i in range(8))
+
+
+def element_Ke_planes(sm: StripMesh, el_loc):
+    """Local element stiffness planes (8, 8, NXd, NY) from the local tangent
+    blocks (nel_loc, 6, 6) — same static (64, 36) MXU contraction as the
+    single-chip path."""
+    els = el_loc.reshape(sm.NXd * sm.NY, 36).T.reshape(36, sm.NXd, sm.NY)
+    M = sm.jacw * jnp.einsum('gai,gbj->ijab', sm.B, sm.B,
+                             preferred_element_type=els.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
+    Kp = jnp.einsum('kl,lxy->kxy', M.reshape(64, 36), els,
+                    preferred_element_type=els.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    return Kp.reshape(8, 8, sm.NXd, sm.NY)
 
 
 def make_k_apply(sm: StripMesh):
-    """shard_map'ed matrix-free K-apply with halo exchange."""
+    """shard_map'ed matrix-free K-apply with halo exchange; vectors are
+    per-component plane tuples of (D, NXd+1, nnY) sharded arrays, the
+    element stiffness a (D, nel_loc, 6, 6) tangent block array."""
     NXd, NY, nnY = sm.NXd, sm.NY, sm.nnY
 
     @partial(shard_map, mesh=sm.mesh,
-             in_specs=(P('x'), P('x'), P('x')), out_specs=P('x'))
-    def k_apply(Ke_loc, v_loc, fixed_loc):
-        Ke_loc = Ke_loc[0] if Ke_loc.ndim == 4 else Ke_loc
-        v = v_loc[0]
-        fixed = fixed_loc[0]
-        vm = jnp.where(fixed, 0., v)
-        ue = _gather_local(vm, NXd, NY)
-        fe = jnp.einsum('eij,ej->ei', Ke_loc, ue,
-                        preferred_element_type=v.dtype)
-        out = _scatter_local(fe, NXd, NY, nnY)
+             in_specs=(P('x'), (P('x'), P('x')), (P('x'), P('x'))),
+             out_specs=(P('x'), P('x')))
+    def k_apply(el_loc, v_loc, fixed_loc):
+        Kp = element_Ke_planes(sm, el_loc[0])
+        v = tuple(x[0] for x in v_loc)
+        fixed = tuple(f[0] for f in fixed_loc)
+        vm = tuple(jnp.where(f, 0., x) for f, x in zip(fixed, v))
+        fp = _contract(Kp, _gather_local(vm, NXd, NY))
+        out = _scatter_local(fp, NXd, NY, nnY)
         out = _halo_accumulate(out)
-        out = jnp.where(fixed, v, out)
-        return out[None]
+        out = tuple(jnp.where(f, x, o) for f, x, o in zip(fixed, v, out))
+        return tuple(o[None] for o in out)
 
     return k_apply
 
@@ -150,9 +191,10 @@ def make_dot(sm: StripMesh):
     """Global dot product that counts duplicated columns once."""
 
     @partial(shard_map, mesh=sm.mesh,
-             in_specs=(P('x'), P('x'), P('x')), out_specs=P())
+             in_specs=((P('x'), P('x')), (P('x'), P('x')),
+                       (P('x'), P('x'))), out_specs=P())
     def gdot(a, b, own):
-        loc = jnp.sum(a * b * own)
+        loc = sum(jnp.sum(x * y * w) for x, y, w in zip(a, b, own))
         return jax.lax.psum(loc, 'x')
 
     return gdot
@@ -171,33 +213,36 @@ def make_schwarz_mg(sm: StripMesh, elstiff_blocks, min_size=8):
     D = sm.D
 
     @partial(shard_map, mesh=sm.mesh,
-             in_specs=(P('x'), P('x'), P('x'), P('x')), out_specs=P('x'))
+             in_specs=((P('x'), P('x')), P('x'), (P('x'), P('x')),
+                       (P('x'), P('x'))),
+             out_specs=(P('x'), P('x')))
     def precon(r_blocks, el_blocks, fixed_blocks, diag_blocks):
-        r = r_blocks[0]
+        r = tuple(x[0] for x in r_blocks)
         els = el_blocks[0]
         idx = jax.lax.axis_index('x')
         # Dirichlet at interior strip interfaces (left col for d>0, right
         # col for d<D-1), plus the global BC mask of this strip
-        gfix = fixed_blocks[0]
+        gfix = tuple(f[0] for f in fixed_blocks)
         left_if = jnp.where(idx > 0, True, False)
         right_if = jnp.where(idx < D - 1, True, False)
-        fix = gfix.at[0].set(gfix[0] | left_if)
-        fix = fix.at[-1].set(gfix[-1] | right_if)
-        # local grid vectors are (NXd+1, nnY, 2) node-major; the fe_kernels
-        # multigrid uses component-major (2, nnX, nnY) planes
-        fixT = fix.transpose(2, 0, 1)
-        md_d = md_loc._replace(fixed=fixT)
+        fix = tuple(f.at[0].set(f[0] | left_if)
+                     .at[-1].set(f[-1] | right_if) for f in gfix)
+        # fe_kernels stores the grid mask stacked (2, nnX, nnY); the MG
+        # levels split it back into plane tuples
+        md_d = md_loc._replace(fixed=jnp.stack(fix, 0))
         levels = mg.build_hierarchy(md_d, els, min_size=min_size)
         # coarse levels inherit the *generator's* masks (approximate but
         # SPD-safe as a preconditioner)
-        rT = jnp.where(fixT, 0., r.transpose(2, 0, 1))
-        zt = mg.v_cycle(levels, (rT[0], rT[1]))
-        z = jnp.stack(zt, -1)
+        z = mg.v_cycle(levels, tuple(jnp.where(f, 0., x)
+                                     for f, x in zip(fix, r)))
         # the local solve is Dirichlet (z = 0) on the interface columns; a
         # Jacobi patch there keeps the preconditioner nonsingular/SPD
-        iface = fix & ~gfix
-        z = jnp.where(iface, r / diag_blocks[0], z)
-        return z[None]
+        diag = tuple(d[0] for d in diag_blocks)
+        out = []
+        for c in range(2):
+            iface = fix[c] & ~gfix[c]
+            out.append(jnp.where(iface, r[c] / diag[c], z[c])[None])
+        return tuple(out)
 
     return precon
 
@@ -229,7 +274,7 @@ def _coarse_weights(sm: StripMesh, nyc=None):
     return Wx_b, jnp.asarray(Wy, sm.dtype), nyc
 
 
-def build_coarse_inv(sm: StripMesh, Ke_blocks, nyc=None):
+def build_coarse_inv(sm: StripMesh, elstiff_blocks, nyc=None):
     """Galerkin coarse operator Kc = P^T K P of the strip-spanning coarse
     space, assembled from per-device element contributions (one batched
     K-apply of all coarse basis functions, psum'd), then inverted
@@ -241,31 +286,33 @@ def build_coarse_inv(sm: StripMesh, Ke_blocks, nyc=None):
     nc2 = (D + 1) * nyc * 2
 
     @partial(shard_map, mesh=sm.mesh,
-             in_specs=(P('x'), P('x'), P('x')), out_specs=P())
-    def assemble(Ke_b, Wx_bb, fixed_b):
-        Ke = Ke_b[0]
+             in_specs=(P('x'), P('x'), (P('x'), P('x'))), out_specs=P())
+    def assemble(el_b, Wx_bb, fixed_b):
+        Kp = element_Ke_planes(sm, el_b[0])
         Wx = Wx_bb[0]
-        gfix = fixed_b[0]
+        gfix = tuple(f[0] for f in fixed_b)
         eye = jnp.eye(nc2, dtype=sm.dtype).reshape(nc2, D + 1, nyc, 2)
 
         def prolong(c):
-            z = jnp.einsum('ja,kb,abc->jkc', Wx, Wy, c)
-            return jnp.where(gfix, 0., z)
+            z = jnp.einsum('ja,kb,abc->cjk', Wx, Wy, c)
+            return tuple(jnp.where(gfix[i], 0., z[i]) for i in range(2))
 
         def lapply(v):
-            ue = _gather_local(v, NXd, NY)
-            fe = jnp.einsum('eij,ej->ei', Ke, ue,
-                            preferred_element_type=sm.dtype)
-            return jnp.where(gfix, 0., _scatter_local(fe, NXd, NY, nnY))
+            fp = _contract(Kp, _gather_local(v, NXd, NY))
+            out = _scatter_local(fp, NXd, NY, nnY)
+            return tuple(jnp.where(gfix[i], 0., out[i]) for i in range(2))
 
         def restrict(v):
-            return jnp.einsum('ja,kb,jkc->abc', Wx, Wy, v).reshape(-1)
+            return jnp.einsum('ja,kb,cjk->abc', Wx, Wy,
+                              jnp.stack(v, 0)).reshape(-1)
 
-        E = jax.vmap(prolong)(eye)
-        Kc_loc = jax.vmap(lambda e: restrict(lapply(e)))(E)
+        def column(e):
+            return restrict(lapply(prolong(e)))
+
+        Kc_loc = jax.vmap(column)(eye)
         return jax.lax.psum(Kc_loc, 'x')
 
-    Kc = assemble(Ke_blocks, Wx_b, sm.fixed)
+    Kc = assemble(elstiff_blocks, Wx_b, sm.fixed)
     # coarse dofs with (near-)empty support after Dirichlet masking would
     # make Kc singular — replace them by identity rows/cols
     dKc = jnp.diagonal(Kc)
@@ -275,55 +322,64 @@ def build_coarse_inv(sm: StripMesh, Ke_blocks, nyc=None):
     return jnp.linalg.inv(Kc), Wx_b, Wy, nyc
 
 
-def make_schwarz_two_level(sm: StripMesh, elstiff_blocks, Ke_blocks,
-                           min_size=8, nyc=None):
+def make_schwarz_two_level(sm: StripMesh, elstiff_blocks, min_size=8,
+                           nyc=None):
     """Two-level additive Schwarz: local multigrid V-cycle per strip
     (``make_schwarz_mg``) PLUS a coarse correction on the strip-spanning
     coarse grid — the coarse space carries the long-range coupling that
     one-level Schwarz cannot, making iteration counts (nearly) independent
     of the number of strips.  M^-1 r = M_schwarz^-1 r + P Kc^-1 P^T r."""
     local_pre = make_schwarz_mg(sm, elstiff_blocks, min_size=min_size)
-    Kc_inv, Wx_b, Wy, nyc = build_coarse_inv(sm, Ke_blocks, nyc)
+    Kc_inv, Wx_b, Wy, nyc = build_coarse_inv(sm, elstiff_blocks, nyc)
     D = sm.D
 
     @partial(shard_map, mesh=sm.mesh,
-             in_specs=(P('x'), P('x'), P('x'), P(), P('x')),
-             out_specs=P('x'))
+             in_specs=((P('x'), P('x')), (P('x'), P('x')),
+                       (P('x'), P('x')), P(), P('x')),
+             out_specs=(P('x'), P('x')))
     def coarse_corr(r_blocks, fixed_blocks, own_blocks, Kc_inv_r, Wx_bb):
-        r = r_blocks[0]
-        gfix = fixed_blocks[0]
-        own = own_blocks[0]
+        r = tuple(x[0] for x in r_blocks)
+        gfix = tuple(f[0] for f in fixed_blocks)
+        own = tuple(w[0] for w in own_blocks)
         Wx = Wx_bb[0]
-        rm = jnp.where(gfix, 0., r) * own     # count duplicated columns once
-        rc = jnp.einsum('ja,kb,jkc->abc', Wx, Wy, rm).reshape(-1)
+        # count duplicated columns once
+        rm = jnp.stack([jnp.where(gfix[c], 0., r[c]) * own[c]
+                        for c in range(2)], 0)
+        rc = jnp.einsum('ja,kb,cjk->abc', Wx, Wy, rm).reshape(-1)
         rc = jax.lax.psum(rc, 'x')
         c = (Kc_inv_r @ rc).reshape(D + 1, nyc, 2)
-        zc = jnp.einsum('ja,kb,abc->jkc', Wx, Wy, c)
-        return jnp.where(gfix, 0., zc)[None]
+        zc = jnp.einsum('ja,kb,abc->cjk', Wx, Wy, c)
+        return tuple(jnp.where(gfix[i], 0., zc[i])[None] for i in range(2))
 
     def precon(r, el_blocks, fixed_blocks, diag_blocks):
         z = local_pre(r, el_blocks, fixed_blocks, diag_blocks)
         zc = coarse_corr(r, fixed_blocks, sm.own, Kc_inv, Wx_b)
-        return z + zc
+        return tuple(a + b for a, b in zip(z, zc))
 
     return precon
 
 
-def cg_solve_strip(sm: StripMesh, Ke_blocks, rhs, x0, diag, tol=1e-8,
+def cg_solve_strip(sm: StripMesh, el_blocks, rhs, x0, diag, tol=1e-8,
                    maxiter=1000, precon=None):
     """Preconditioned CG on the strip-decomposed operator.  All vectors
-    live as (D, NXd+1, nnY, 2) sharded blocks; per-iteration communication
-    is the two-column halo exchange plus scalar psums.  ``precon`` is an
-    optional block preconditioner (e.g. ``make_schwarz_mg``); default is
-    Jacobi."""
+    live as per-component plane tuples of (D, NXd+1, nnY) sharded blocks;
+    per-iteration communication is the two-column halo exchange plus scalar
+    psums.  ``precon`` is an optional block preconditioner (e.g.
+    ``make_schwarz_two_level``); default is Jacobi.  ``el_blocks`` is the
+    (D, nel_loc, 6, 6) tangent field (the element stiffness planes are
+    rebuilt inside the K-apply, fused with its consumers)."""
     k_apply = make_k_apply(sm)
     gdot = make_dot(sm)
-    A = lambda v: k_apply(Ke_blocks, v, sm.fixed)
-    minv = 1. / diag
-    M = precon if precon is not None else (lambda r: minv * r)
-    r0 = rhs - A(x0)
+    A = lambda v: k_apply(el_blocks, v, sm.fixed)
+    if precon is None:
+        minv = tuple(1. / d for d in diag)
+        M = lambda r: tuple(m * q for m, q in zip(minv, r))
+    else:
+        M = precon
+    Ax0 = A(x0)
+    r0 = tuple(b - a for b, a in zip(rhs, Ax0))
     bnorm = jnp.maximum(jnp.sqrt(gdot(rhs, rhs, sm.own)), 1e-30)
-    p0 = jnp.zeros_like(r0)
+    p0 = tuple(jnp.zeros_like(q) for q in r0)
 
     def cond(s):
         x, r, p, rz, it = s
@@ -334,15 +390,15 @@ def cg_solve_strip(sm: StripMesh, Ke_blocks, rhs, x0, diag, tol=1e-8,
         z = M(r)
         rz = gdot(r, z, sm.own)
         beta = jnp.where(it == 0, 0., rz / rz_prev)
-        p = z + beta * p
+        p = tuple(zi + beta * pi for zi, pi in zip(z, p))
         Ap = A(p)
         alpha = rz / gdot(p, Ap, sm.own)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
+        r = tuple(ri - alpha * ai for ri, ai in zip(r, Ap))
         return x, r, p, rz, it + 1
 
     x, r, p, rz, it = jax.lax.while_loop(
-        cond, body, (x0, r0, p0, jnp.asarray(1., r0.dtype), 0))
+        cond, body, (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0))
     return x, jnp.sqrt(gdot(r, r, sm.own)) / bnorm, it
 
 
@@ -352,51 +408,55 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     cg_tol=1e-8, nsub=4, schwarz=2):
     """One load step on the strip-decomposed mesh: CG solve (halo-exchange
     K-apply), element-local batched return map (zero communication), tangent
-    update, re-solve, final consistent response.  Returns updated
+    update, re-solve, final consistent response.  ``schwarz=2`` (default)
+    preconditions with two-level additive Schwarz; ``schwarz=True`` is the
+    one-level variant; falsy is Jacobi.  Returns updated
     (sig, epl, du, diagnostics)."""
-    dtype = sm.dtype
     CV = elstiff_blocks.reshape(-1, 6, 6)[0]  # elastic reference
-    bc = sm.fixed_val * load_frac
+    bc = tuple(v * load_frac for v in sm.fixed_val)
 
-    def element_Ke(elstiff_blocks):
-        return sm.jacw * jnp.einsum('gai,deab,gbj->deij', sm.B,
-                                    elstiff_blocks, sm.B,
-                                    preferred_element_type=dtype)
-
-    def diag_of(Ke_blocks):
-        @partial(shard_map, mesh=sm.mesh, in_specs=(P('x'), P('x')),
-                 out_specs=P('x'))
-        def dcalc(Ke_loc, fixed_loc):
-            de = jnp.diagonal(Ke_loc[0], axis1=1, axis2=2)
+    def diag_of(el_blocks):
+        @partial(shard_map, mesh=sm.mesh,
+                 in_specs=(P('x'), (P('x'), P('x'))),
+                 out_specs=(P('x'), P('x')))
+        def dcalc(el_loc, fixed_loc):
+            Kp = element_Ke_planes(sm, el_loc[0])
+            de = tuple(Kp[i, i] for i in range(8))
             d = _scatter_local(de, sm.NXd, sm.NY, sm.nnY)
             d = _halo_accumulate(d)
-            return jnp.where(fixed_loc[0], 1., d)[None]
-        return dcalc(Ke_blocks, sm.fixed)
+            fixed = tuple(f[0] for f in fixed_loc)
+            return tuple(jnp.where(f, 1., x)[None]
+                         for f, x in zip(fixed, d))
+        return dcalc(el_blocks, sm.fixed)
 
-    def solve_with(elstiff_blocks):
-        Ke = element_Ke(elstiff_blocks)
-        du_bc = jnp.where(sm.fixed, bc, 0.)
+    def solve_with(el_blocks):
         k_apply = make_k_apply(sm)
-        rhs = -k_apply(Ke, du_bc, jnp.zeros_like(sm.fixed))
-        rhs = jnp.where(sm.fixed, bc, rhs)
-        diag = diag_of(Ke)
+        du_bc = tuple(jnp.where(f, b, 0.)
+                      for f, b in zip(sm.fixed, bc))
+        zmask = tuple(jnp.zeros_like(f) for f in sm.fixed)
+        neg = k_apply(el_blocks, du_bc, zmask)
+        rhs = tuple(jnp.where(f, b, -q)
+                    for f, b, q in zip(sm.fixed, bc, neg))
+        diag = diag_of(el_blocks)
         M = None
         if schwarz:
             # schwarz=2 adds the strip-spanning coarse correction
             if schwarz == 2:
-                pre = make_schwarz_two_level(sm, elstiff_blocks, Ke)
+                pre = make_schwarz_two_level(sm, el_blocks)
             else:
-                pre = make_schwarz_mg(sm, elstiff_blocks)
-            M = lambda r: pre(r, elstiff_blocks, sm.fixed, diag)
-        du, res, it = cg_solve_strip(sm, Ke, rhs, du_bc, diag,
+                pre = make_schwarz_mg(sm, el_blocks)
+            M = lambda r: pre(r, el_blocks, sm.fixed, diag)
+        du, res, it = cg_solve_strip(sm, el_blocks, rhs, du_bc, diag,
                                      tol=cg_tol, precon=M)
         return du, res, it
 
-    @partial(shard_map, mesh=sm.mesh, in_specs=(P('x'),), out_specs=P('x'))
+    @partial(shard_map, mesh=sm.mesh, in_specs=((P('x'), P('x')),),
+             out_specs=P('x'))
     def deps_of(du_blocks):
-        ue = _gather_local(du_blocks[0], sm.NXd, sm.NY)
-        return jnp.einsum('ai,ei->ea', sm.Bsum, ue,
-                          preferred_element_type=dtype)[None]
+        up = _gather_local(tuple(x[0] for x in du_blocks), sm.NXd, sm.NY)
+        planes = [sum(sm.Bsum[a, i] * up[i] for i in range(8))
+                  for a in range(6)]
+        return jnp.stack(planes, -1).reshape(sm.NXd * sm.NY, 6)[None]
 
     du, res, it = solve_with(elstiff_blocks)
     elstiff = elstiff_blocks

@@ -28,40 +28,44 @@ def test_strip_elastic_matches_single():
     x0 = jnp.where(md.fixed, bc, 0.)
     du1, res1, _ = fek.cg_solve(lambda v: fek.k_apply(md, Ke, v), rhs, x0,
                                 fek.k_diag(md, Ke), tol=1e-12, maxiter=20000)
-    # device solver uses component-major planes; strip layout is node-major
-    u1 = np.asarray(du1).transpose(1, 2, 0)
+    u1 = np.asarray(du1)   # (2, nnX, nnY) component planes
 
     sm = sh.StripMesh(NX, NY, LX=4., LY=1., uniax='y', eps_tot=0.002,
                       n_devices=8, dtype=dtype)
     el_b = sm.shard_elements(np.broadcast_to(CV, (NX * NY, 6, 6)).copy())
-    Ke_b = sm.jacw * jnp.einsum('gai,deab,gbj->deij', sm.B, el_b, sm.B)
-    bcv = sm.fixed_val * 0.5
-    du_bc = jnp.where(sm.fixed, bcv, 0.)
+    bcv = tuple(v * 0.5 for v in sm.fixed_val)
+    du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(sm.fixed, bcv))
     k_apply = sh.make_k_apply(sm)
-    rhs_s = jnp.where(sm.fixed, bcv,
-                      -k_apply(Ke_b, du_bc, jnp.zeros_like(sm.fixed)))
+    zmask = tuple(jnp.zeros_like(f) for f in sm.fixed)
+    neg = k_apply(el_b, du_bc, zmask)
+    rhs_s = tuple(jnp.where(f, b, -q)
+                  for f, b, q in zip(sm.fixed, bcv, neg))
     from functools import partial
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    @partial(shard_map, mesh=sm.mesh, in_specs=(P('x'), P('x')),
-             out_specs=P('x'))
-    def dcalc(Ke_loc, fixed_loc):
-        de = jnp.diagonal(Ke_loc[0], axis1=1, axis2=2)
+    @partial(shard_map, mesh=sm.mesh,
+             in_specs=(P('x'), (P('x'), P('x'))),
+             out_specs=(P('x'), P('x')))
+    def dcalc(el_loc, fixed_loc):
+        Kp = sh.element_Ke_planes(sm, el_loc[0])
+        de = tuple(Kp[i, i] for i in range(8))
         d = sh._scatter_local(de, sm.NXd, sm.NY, sm.nnY)
         d = sh._halo_accumulate(d)
-        return jnp.where(fixed_loc[0], 1., d)[None]
+        return tuple(jnp.where(f[0], 1., x)[None]
+                     for f, x in zip(fixed_loc, d))
 
-    du2, res2, _ = sh.cg_solve_strip(sm, Ke_b, rhs_s, du_bc,
-                                     dcalc(Ke_b, sm.fixed), tol=1e-12,
+    du2, res2, _ = sh.cg_solve_strip(sm, el_b, rhs_s, du_bc,
+                                     dcalc(el_b, sm.fixed), tol=1e-12,
                                      maxiter=20000)
-    du2 = np.asarray(du2)
-    u2 = np.concatenate([du2[d, :-1] for d in range(8)] + [du2[7, -1:]],
-                        axis=0)
-    np.testing.assert_allclose(u2, u1, atol=1e-12)
-    # duplicated boundary columns stay bitwise consistent
-    for d in range(7):
-        np.testing.assert_array_equal(du2[d, -1], du2[d + 1, 0])
+    for c in range(2):
+        dc = np.asarray(du2[c])            # (D, NXd+1, nnY)
+        u2 = np.concatenate([dc[d, :-1] for d in range(8)] + [dc[7, -1:]],
+                            axis=0)
+        np.testing.assert_allclose(u2, u1[c], atol=1e-12)
+        # duplicated boundary columns stay bitwise consistent
+        for d in range(7):
+            np.testing.assert_array_equal(dc[d, -1], dc[d + 1, 0])
 
 
 def test_strip_plastic_step_matches_single():
