@@ -402,7 +402,7 @@ def cg_solve_strip(sm: StripMesh, el_blocks, rhs, x0, diag, tol=1e-8,
     return x, jnp.sqrt(gdot(r, r, sm.own)) / bnorm, it
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
 def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     mat: con.DeviceMaterial, load_frac=1.0, n_inner=2,
                     cg_tol=1e-8, nsub=4, schwarz=2):
