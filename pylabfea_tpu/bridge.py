@@ -25,9 +25,6 @@ def _check_supported(model):
         raise ValueError('mesh the model before converting')
     if len(set(id(el.Mat) for el in model.element)) != 1:
         raise ValueError('device solver bridge supports one material')
-    if model.planestress:
-        raise ValueError('device solver bridge supports plane strain only '
-                         '(plane-stress condensation not yet ported)')
     lx = {round(el.Lelx, 12) for el in model.element}
     ly = {round(el.Lely, 12) for el in model.element}
     if len(lx) != 1 or len(ly) != 1:
@@ -45,10 +42,17 @@ def to_device(model, dtype=jnp.float32):
     uniax, eps_tot = _check_supported(model)
     NX = model.NnodeX - 1
     NY = model.NnodeY - 1
+    el0 = model.element[0]
+    ps = {}
+    if model.planestress:
+        # plane stress: the host element folds the eps_33 condensation into
+        # its B matrices and uses the reduced CV; replicate both
+        ps = dict(planestress=True, ps_CV=np.asarray(el0.CV),
+                  ps_E=el0.Mat.E, ps_nu=el0.Mat.nu)
     md = fek.rect_mesh(NX, NY, LX=model.lenx, LY=model.leny,
                        thick=model.thick, uniax=uniax, eps_tot=eps_tot,
-                       dtype=dtype)
-    mat = model.element[0].Mat
+                       dtype=dtype, **ps)
+    mat = el0.Mat
     dm = con.device_material_from(mat, dtype=dtype)
     CV = np.asarray(model.element[0].CV, dtype=float)
     return md, dm, CV

@@ -61,9 +61,12 @@ def _md_unflatten(aux, children):
 jax.tree_util.register_pytree_node(MeshData, _md_flatten, _md_unflatten)
 
 
-def _quad_B(lx, ly, dtype=np.float64):
+def _quad_B(lx, ly, dtype=np.float64, ps_CV=None, ps_E=None, ps_nu=None):
     """B matrices of the bilinear quad at the 4 Gauss points (reference
-    element formulation, model.py:439-501, plane strain)."""
+    element formulation, model.py:439-501).  With ``ps_CV/ps_E/ps_nu`` set,
+    the plane-stress thickness-strain row eps_33 = -nu (sig_11 + sig_22)/E
+    is folded into row 2 of each B (model.py:498-501), so the same 6-D
+    constitutive update serves plane stress."""
     cpos = np.sqrt(1. / 3.)
     Bs = np.zeros((4, 6, 8), dtype=dtype)
     for i in range(4):
@@ -94,15 +97,24 @@ def _quad_B(lx, ly, dtype=np.float64):
         B[5, 5] = hym
         B[5, 6] = hxp
         B[5, 7] = hyp
+        if ps_CV is not None:
+            hh = np.asarray(ps_CV, dtype=dtype) @ B
+            B[2, :] = -ps_nu * (hh[0, :] + hh[1, :]) / ps_E
     return Bs
 
 
 def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
-              dtype=jnp.float32):
+              dtype=jnp.float32, planestress=False, ps_CV=None, ps_E=None,
+              ps_nu=None):
     """Structured NX x NY quad mesh with uniaxial-displacement BCs:
     left fixed in x, bottom fixed in y, top pulled in +y (if uniax='y') or
     right pulled in +x.  Returns MeshData; `fixed_val`/`force` are patterns
-    for a unit load factor (scaled to eps_tot * L by the solver)."""
+    for a unit load factor (scaled to eps_tot * L by the solver).
+
+    ``planestress=True`` requires the plane-stress-reduced stiffness
+    ``ps_CV`` (the one also fed to the solver as tangent) plus the isotropic
+    ``ps_E``/``ps_nu`` — the eps_33 condensation is folded into the B
+    matrices exactly as the host Element does."""
     nnX, nnY = NX + 1, NY + 1
     nnode = nnX * nnY
     ndof = 2 * nnode
@@ -126,7 +138,12 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     else:
         fixed[0, -1, :] = True              # right: ux prescribed
         fixed_val[0, -1, :] = eps_tot * LX
-    Bs = _quad_B(lx, ly)
+    if planestress:
+        if ps_CV is None or ps_E is None or ps_nu is None:
+            raise ValueError('planestress=True requires ps_CV, ps_E, ps_nu')
+        Bs = _quad_B(lx, ly, ps_CV=ps_CV, ps_E=ps_E, ps_nu=ps_nu)
+    else:
+        Bs = _quad_B(lx, ly)
     vel = lx * ly * thick
     return MeshData(
         dofs=jnp.asarray(dofs, dtype=jnp.int32),

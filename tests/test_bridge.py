@@ -58,3 +58,31 @@ def test_bridge_rejects_unsupported():
     fe.mesh(NX=4, NY=4)
     with pytest.raises(ValueError, match='one material'):
         bridge.to_device(fe)
+
+
+def test_bridge_plane_stress():
+    """Plane-stress models run on the device solver: the eps_33 row of the
+    host Element's B matrix is folded into the device mesh."""
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=150., khard=500., sdim=6)
+    def build():
+        fe = FE.Model(dim=2, planestress=True)
+        fe.geom([2.], LY=2.)
+        fe.assign([mat])
+        fe.bcleft(0.)
+        fe.bcbot(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.002 * fe.leny, 'disp')
+        fe.mesh(NX=8, NY=8)
+        return fe
+    fe_h = build()
+    fe_h.solve(min_step=10)
+    fe_d = build()
+    bridge.solve_on_device(fe_d, nsteps=40, n_inner=3, dtype=jnp.float64)
+    # plane stress: sig_33 must vanish
+    assert abs(fe_d.glob['sig'][2]) < 1e-6 * abs(fe_d.glob['sig'][1])
+    # different load stepping near yield onset -> ~1% agreement
+    assert abs(fe_d.glob['sig'][1] - fe_h.glob['sig'][1]) \
+        < 1e-2 * abs(fe_h.glob['sig'][1])
+    np.testing.assert_allclose(fe_d.glob['eps'], fe_h.glob['eps'], atol=1e-5)
