@@ -96,3 +96,86 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     model.epgl = np.array(epgl)
     model.calc_global()
     return model
+
+
+def calc_properties_on_device(mat, size=2., Nel=16, eps=0.005, nsteps=20,
+                              n_inner=3, dtype=jnp.float32,
+                              load_cases=('stx', 'sty', 'et2', 'ect')):
+    """``Material.calc_properties`` on the device solver: runs the canonical
+    plane-stress load paths (uniaxial x/y, equibiaxial, pure shear —
+    material.py:3125-3153 conventions) with the jitted MG-CG stepper and
+    fills ``mat.prop`` / ``mat.propJ2`` / ``mat.sigeps`` exactly like the
+    host version, so plotting (``plot_stress_strain``) keeps working.
+
+    Unlike the host path this scales to fine meshes (``Nel``) — use it to
+    characterize ML materials with well-resolved fields on TPU."""
+    from pylabfea_tpu.core.tensors import eps_eq, sig_eq_j2
+
+    # plane-stress-reduced stiffness (host Element convention)
+    hh = mat.E / (1. - mat.nu * mat.nu)
+    CV = np.zeros((6, 6))
+    CV[0, 0] = CV[1, 1] = hh
+    CV[0, 1] = CV[1, 0] = mat.nu * hh
+    CV[5, 5] = mat.C44
+    dm = con.device_material_from(mat, dtype=dtype)
+    cases = {
+        'stx': dict(uniax='x', eps_x=eps, eps_y=0.),
+        'sty': dict(uniax='y', eps_x=0., eps_y=eps),
+        'et2': dict(uniax='xy', eps_x=0.4 * eps, eps_y=0.4 * eps),
+        'ect': dict(uniax='xy', eps_x=-0.8 * eps, eps_y=0.8 * eps),
+    }
+    for sel in load_cases:
+        md = fek.rect_mesh(Nel, Nel, LX=size, LY=size, uniax=cases[sel]['uniax'],
+                           eps_tot=0., eps_x=cases[sel]['eps_x'],
+                           eps_y=cases[sel]['eps_y'], dtype=dtype,
+                           planestress=True, ps_CV=CV, ps_E=mat.E,
+                           ps_nu=mat.nu)
+        state = fek.init_state(md, CV, dtype=dtype)
+        # scale the first increment to touch the yield surface (host
+        # calc_scf, model.py:1036-1067): elastic predictor at full load,
+        # then the minimum per-element distance-to-locus scaling
+        du, _, _ = fek.solve_linear(md, state.elstiff, md.fixed_val)
+        sig_tr = np.asarray(fek.element_deps(md, du) @ jnp.asarray(
+            CV, dtype=dtype).T, dtype=float)
+        if dm.is_svc:
+            dist = np.asarray(con.ml_yf_dist(
+                dm, jnp.asarray(sig_tr, dtype=dtype),
+                jnp.zeros(sig_tr.shape[0], dtype=dtype)))
+            seq_tr = np.asarray(jnp.asarray(
+                sig_eq_j2(sig_tr), dtype=dtype), dtype=float)
+            scale = float(np.min((seq_tr - dist) / np.maximum(seq_tr, 1e-12)))
+        else:
+            seq_tr = mat.calc_seq(sig_tr)
+            scale = float(mat.sy / max(np.max(seq_tr), 1e-12))
+        scale = min(max(scale, 0.), 1.)
+        fracs = [scale] + [(1. - scale) / nsteps] * nsteps if scale < 1. \
+            else [1. / nsteps] * nsteps
+        sgl = [np.zeros(6)]
+        egl = [np.zeros(6)]
+        epgl = [np.zeros(6)]
+        for frac in fracs:
+            state, diag = fek.load_step_split(md, state, dm, CV, frac,
+                                              n_inner=n_inner)
+            sgl.append(np.asarray(diag['glob_sig'], dtype=float))
+            egl.append(np.asarray(diag['glob_eps'], dtype=float))
+            epgl.append(np.asarray(diag['glob_epl'], dtype=float))
+        sgl, egl, epgl = np.array(sgl), np.array(egl), np.array(epgl)
+        seq = mat.calc_seq(sgl)
+        eeq = eps_eq(egl)
+        peeq = eps_eq(epgl)
+        iys = np.nonzero(peeq < 1.e-2)[0]
+        mat.prop[sel]['ys'] = seq[iys[-1]]
+        mat.prop[sel]['seq'] = seq
+        mat.prop[sel]['eeq'] = eeq
+        mat.prop[sel]['peeq'] = peeq
+        seqJ2 = sig_eq_j2(sgl)
+        iys = np.nonzero(peeq < 1.e-6)[0]
+        mat.propJ2[sel]['ys'] = seqJ2[iys[-1]]
+        mat.propJ2[sel]['seq'] = seqJ2
+        mat.propJ2[sel]['eeq'] = eeq
+        mat.propJ2[sel]['peeq'] = peeq
+        mat.sigeps[sel]['sig'] = sgl
+        mat.sigeps[sel]['eps'] = egl
+        mat.sigeps[sel]['epl'] = epgl
+    mat.prop_calculated = True
+    return mat

@@ -105,7 +105,7 @@ def _quad_B(lx, ly, dtype=np.float64, ps_CV=None, ps_E=None, ps_nu=None):
 
 def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
               dtype=jnp.float32, planestress=False, ps_CV=None, ps_E=None,
-              ps_nu=None):
+              ps_nu=None, eps_x=None, eps_y=None):
     """Structured NX x NY quad mesh with uniaxial-displacement BCs:
     left fixed in x, bottom fixed in y, top pulled in +y (if uniax='y') or
     right pulled in +x.  Returns MeshData; `fixed_val`/`force` are patterns
@@ -114,7 +114,11 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     ``planestress=True`` requires the plane-stress-reduced stiffness
     ``ps_CV`` (the one also fed to the solver as tangent) plus the isotropic
     ``ps_E``/``ps_nu`` — the eps_33 condensation is folded into the B
-    matrices exactly as the host Element does."""
+    matrices exactly as the host Element does.
+
+    ``uniax='xy'`` prescribes displacements on BOTH the right (x) and top
+    (y) edges with magnitudes ``eps_x``/``eps_y`` (signed strains) — the
+    biaxial / shear load paths of ``Material.calc_properties``."""
     nnX, nnY = NX + 1, NY + 1
     nnode = nnX * nnY
     ndof = 2 * nnode
@@ -132,12 +136,14 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     fixed_val = np.zeros((2, nnX, nnY))
     fixed[0, 0, :] = True                   # left: ux = 0
     fixed[1, :, 0] = True                   # bottom: uy = 0
-    if uniax == 'y':
+    ex = eps_tot if eps_x is None else eps_x
+    ey = eps_tot if eps_y is None else eps_y
+    if uniax in ('y', 'xy'):
         fixed[1, :, -1] = True              # top: uy prescribed
-        fixed_val[1, :, -1] = eps_tot * LY
-    else:
+        fixed_val[1, :, -1] = ey * LY
+    if uniax in ('x', 'xy'):
         fixed[0, -1, :] = True              # right: ux prescribed
-        fixed_val[0, -1, :] = eps_tot * LX
+        fixed_val[0, -1, :] = ex * LX
     if planestress:
         if ps_CV is None or ps_E is None or ps_nu is None:
             raise ValueError('planestress=True requires ps_CV, ps_E, ps_nu')

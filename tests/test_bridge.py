@@ -86,3 +86,25 @@ def test_bridge_plane_stress():
     assert abs(fe_d.glob['sig'][1] - fe_h.glob['sig'][1]) \
         < 1e-2 * abs(fe_h.glob['sig'][1])
     np.testing.assert_allclose(fe_d.glob['eps'], fe_h.glob['eps'], atol=1e-5)
+
+
+def test_calc_properties_on_device():
+    """Device-side material characterization reproduces the host
+    Material.calc_properties yield strengths on all four load paths
+    (the first increment is scaled to touch the yield surface, host
+    calc_scf convention)."""
+    def make():
+        m = FE.Material()
+        m.elasticity(E=200.e3, nu=0.3)
+        m.plasticity(sy=150., khard=1000., sdim=6)
+        return m
+    mh = make()
+    mh.calc_properties(eps=0.01)
+    md_ = make()
+    bridge.calc_properties_on_device(md_, Nel=8, eps=0.01, nsteps=40,
+                                     dtype=jnp.float64)
+    for sel in ('stx', 'sty', 'et2', 'ect'):
+        assert abs(md_.propJ2[sel]['ys'] - mh.propJ2[sel]['ys']) \
+            < 1e-6 * mh.propJ2[sel]['ys']
+        assert abs(md_.prop[sel]['ys'] - mh.prop[sel]['ys']) \
+            < 2e-2 * mh.prop[sel]['ys']
