@@ -44,7 +44,8 @@ def flagship(dtype, nsv=512, sy=150.):
         khard=jnp.asarray(0., dtype), drucker=jnp.asarray(0., dtype),
         sv=jnp.asarray(sv, dtype), dc=jnp.asarray(dc, dtype),
         rho=jnp.asarray(0.05, dtype), gamma=jnp.asarray(2.5, dtype),
-        scale_seq=jnp.asarray(sy, dtype), is_svc=True)
+        scale_seq=jnp.asarray(sy, dtype),
+        scale_wh=jnp.asarray(1., dtype), is_svc=True, dev_only=False)
     return dm, (sv, dc, 0.05, 2.5, sy)
 
 

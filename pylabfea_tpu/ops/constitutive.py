@@ -38,16 +38,18 @@ class DeviceMaterial(NamedTuple):
     dc: jnp.ndarray          # (nsv,) dual coefficients
     rho: jnp.ndarray         # scalar intercept
     gamma: jnp.ndarray       # scalar kernel width
-    scale_seq: jnp.ndarray   # scalar feature scale
+    scale_seq: jnp.ndarray   # scalar feature scale (stress)
+    scale_wh: jnp.ndarray    # scalar feature scale (plastic strain, WH)
     is_svc: bool             # static (aux data, not a traced leaf)
+    dev_only: bool           # static: deviatoric stress features
 
 
 def _dm_flatten(m):
-    return (m[:-1], m.is_svc)
+    return (m[:-2], (m.is_svc, m.dev_only))
 
 
 def _dm_unflatten(aux, children):
-    return DeviceMaterial(*children, is_svc=aux)
+    return DeviceMaterial(*children, is_svc=aux[0], dev_only=aux[1])
 
 
 jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
@@ -58,18 +60,28 @@ def device_material_from(mat, dtype=jnp.float32):
     as_d = lambda x: jnp.asarray(x, dtype=dtype)
     if mat.ML_yf:
         p = mat._svc
+        ndof = p.support_vectors.shape[1]
+        if ndof not in (6, 15):
+            raise NotImplementedError(
+                'device constitutive path supports stress-only (Ndof=6) or '
+                'stress + work-hardening (Ndof=15) SVC features; '
+                f'got Ndof={ndof} (cylindrical sdim=3 and texture features '
+                'run on the host profile)')
         return DeviceMaterial(
             hill=as_d(np.ones(6)), sy=as_d(mat.sy), khard=as_d(mat.khard or 0.),
             drucker=as_d(0.), sv=as_d(p.support_vectors), dc=as_d(p.dual_coef),
             rho=as_d(p.intercept), gamma=as_d(p.gamma),
-            scale_seq=as_d(mat.scale_seq), is_svc=True)
+            scale_seq=as_d(mat.scale_seq),
+            scale_wh=as_d(getattr(mat, 'scale_wh', None) or 1.),
+            is_svc=True, dev_only=bool(mat.dev_only))
     hill = np.ones(6)
     hill[:len(mat.hill)] = mat.hill
     return DeviceMaterial(
         hill=as_d(hill), sy=as_d(mat.sy), khard=as_d(mat.khard or 0.),
         drucker=as_d(mat.drucker or 0.),
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
-        gamma=as_d(1.), scale_seq=as_d(mat.sy), is_svc=False)
+        gamma=as_d(1.), scale_seq=as_d(mat.sy), scale_wh=as_d(1.),
+        is_svc=False, dev_only=False)
 
 
 # -----------------------------------------------------------------
@@ -141,17 +153,57 @@ def svc_decision_and_gradient(m: DeviceMaterial, x):
     return f, g
 
 
-def yf(m: DeviceMaterial, sig, peeq):
+def _features(m: DeviceMaterial, sig, epl):
+    """SVC feature rows from stress (and plastic strain for work-hardening
+    materials): host ``create_scaled_input`` conventions — deviatoric
+    projection if ``dev_only``, sig/scale_seq, then for Ndof=15 the
+    epl/scale_wh block plus zeroed (acc_strain, max_stress, flag) columns
+    (the FE solver's defaults, material.py:2301-2368)."""
+    s = jt.sig_dev(sig) if m.dev_only else sig
+    x = s / m.scale_seq
+    if m.sv.shape[-1] == 6:
+        return x
+    if epl is None:
+        epl = jnp.zeros_like(sig)
+    extras = jnp.zeros((sig.shape[0], 3), sig.dtype)
+    return jnp.concatenate([x, epl / m.scale_wh, extras], axis=-1)
+
+
+def _khard_lanes(m: DeviceMaterial, g_feat):
+    """Per-lane work-hardening-rate contributions -sum_c dgrad_c *
+    scale_seq/scale_wh; the host's scalar khard is their (masked) batch
+    mean clipped at 0 (calc_fgrad, material.py:808-812)."""
+    return -jnp.sum(g_feat[:, 6:12], axis=-1) * m.scale_seq / m.scale_wh
+
+
+def khard_of(m: DeviceMaterial, g_feat, mask=None):
+    """Hardening modulus: the batch-mean work-hardening rate derived from
+    the SVC gradient's plastic-strain components — a SCALAR per batch like
+    the host's ``self.khard`` side effect (restricted to ``mask`` lanes
+    when given, as in _epl_dot_rows); the material's static khard
+    otherwise."""
+    if not m.is_svc or m.sv.shape[-1] == 6:
+        return m.khard
+    lanes = _khard_lanes(m, g_feat)
+    if mask is None:
+        return jnp.maximum(0., jnp.mean(lanes))
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.maximum(0., jnp.sum(jnp.where(mask, lanes, 0.)) / cnt)
+
+
+def yf(m: DeviceMaterial, sig, peeq, epl=None):
     """Yield function: SVC decision or seq - sflow; sig (N, 6), peeq (N,)."""
     if m.is_svc:
-        return svc_decision(m, sig / m.scale_seq)
+        return svc_decision(m, _features(m, sig, epl))
     return seq_hill(m, sig) - (m.sy + peeq * m.khard)
 
 
-def fgrad(m: DeviceMaterial, sig):
-    """Yield-surface gradient in stress space; sig (N, 6)."""
+def fgrad(m: DeviceMaterial, sig, epl=None):
+    """Yield-surface gradient in stress space; sig (N, 6).  (Host
+    convention: the stress-feature components / scale_seq, with no
+    deviatoric chain term even when ``dev_only`` — material.py:826.)"""
     if m.is_svc:
-        return svc_gradient(m, sig / m.scale_seq) / m.scale_seq
+        return svc_gradient(m, _features(m, sig, epl))[:, 0:6] / m.scale_seq
     hp = m.hill
     seq = seq_hill(m, sig)
     sdev = jt.sig_dev(sig)
@@ -168,26 +220,31 @@ def fgrad(m: DeviceMaterial, sig):
     return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
 
 
-def yf_and_fgrad(m: DeviceMaterial, sig, peeq):
-    """Fused yield function + gradient (one kernel-matrix pass for SVC)."""
+def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
+    """Fused yield function + stress gradient + hardening modulus (one
+    kernel-matrix pass for SVC).  Returns (f, g (N, 6), khard scalar)."""
     if m.is_svc:
-        f, g = svc_decision_and_gradient(m, sig / m.scale_seq)
-        return f, g / m.scale_seq
-    return yf(m, sig, peeq), fgrad(m, sig)
+        f, g = svc_decision_and_gradient(m, _features(m, sig, epl))
+        return f, g[:, 0:6] / m.scale_seq, khard_of(m, g)
+    return yf(m, sig, peeq), fgrad(m, sig), m.khard
 
 
-def ml_yf_dist(m: DeviceMaterial, sig, peeq, maxmarch=400):
+def ml_yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None,
+               maxmarch=400):
     """Distance of stresses to the SVC yield locus along their own loading
     direction (device twin of Material.ML_full_yf): geometric bracket
-    marching (x0 *= 0.98 down / x1 *= 1.02 up) then Brent root find."""
+    marching (x0 *= 0.98 down / x1 *= 1.02 up) then Brent root find.  For
+    work-hardening materials the plastic-strain features stay fixed while
+    the stress is scaled (host find_yloc convention)."""
     seq = jt.seq_j2_voigt(sig)
-    sflow = m.sy + peeq * m.khard
+    kh = m.khard if khard is None else khard
+    sflow = m.sy + peeq * kh
     small = seq < 0.01
     safe_seq = jnp.where(small, 1., seq)
     su = sig / safe_seq[:, None]
 
     def f_of(x):
-        return svc_decision(m, (x[:, None] * su) / m.scale_seq)
+        return svc_decision(m, _features(m, x[:, None] * su, epl))
 
     x0 = jnp.where(su[:, 0] * su[:, 1] < -1.e-5, 0.5 * sflow, sflow)
     x1 = x0
@@ -212,33 +269,60 @@ def ml_yf_dist(m: DeviceMaterial, sig, peeq, maxmarch=400):
     return jnp.where(good, seq - xs * seq_su, seq - 0.85 * sflow)
 
 
-def yf_dist(m: DeviceMaterial, sig, peeq):
+def yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None):
     """Distance-type yield function: ML root find for SVC, plain yf else."""
     if m.is_svc:
-        return ml_yf_dist(m, sig, peeq)
+        return ml_yf_dist(m, sig, peeq, epl, khard)
     return yf(m, sig, peeq)
 
 
 # -----------------------------------------------------------------
 # flow rule / tangent / return map
 # -----------------------------------------------------------------
-def epl_dot(m: DeviceMaterial, sig, peeq, CV, deps):
+def epl_dot(m: DeviceMaterial, sig, peeq, CV, deps, epl=None):
     """Associated plastic strain increment (Crisfield ch. 6)."""
-    yfun = yf(m, sig + _mm(deps, CV.T), peeq)
-    a = fgrad(m, sig)
+    yfun = yf(m, sig + _mm(deps, CV.T), peeq, epl)
+    _, a, kh = yf_and_fgrad(m, sig, peeq, epl)
     ca = _mm(a, CV.T)
-    hh = jnp.sum(ca * a, axis=-1) + m.khard
+    hh = jnp.sum(ca * a, axis=-1) + kh
     lam = jnp.sum(ca * deps, axis=-1) / hh
     pdot = lam[:, None] * a
     return jnp.where((yfun > yf_tolerance)[:, None], pdot, 0.)
 
 
-def c_tan(m: DeviceMaterial, sig, CV):
+def c_tan(m: DeviceMaterial, sig, CV, epl=None):
     """Consistent tangent Ct = C - (Ca (x) Ca) / (a^T C a + khard)."""
-    a = fgrad(m, sig)
+    _, a, kh = yf_and_fgrad(m, sig, jnp.zeros(sig.shape[0], sig.dtype), epl)
     ca = _mm(a, CV.T)
-    hh = jnp.sum(ca * a, axis=-1) + m.khard
+    hh = jnp.sum(ca * a, axis=-1) + kh
     return CV[None] - ca[:, :, None] * ca[:, None, :] / hh[:, None, None]
+
+
+def _flow_tan(m: DeviceMaterial, sig, peeq, CV, deps, epl):
+    """Flow increment + consistent tangent with the host's khard-statistics
+    chain (response_batch): epl_dot's denominator uses the batch-mean
+    hardening rate over the YIELDING lanes (the host computes its gradient
+    on the masked subset), c_tan's over ALL lanes; the khard 'last set'
+    (c_tan's) is what the subsequent yield-distance marching sees.
+    Returns (pdot, Ct, khard_full)."""
+    dsig = _mm(deps, CV.T)
+    yfun = yf(m, sig + dsig, peeq, epl)
+    yld = yfun > yf_tolerance
+    if m.is_svc:
+        _, gfeat = svc_decision_and_gradient(m, _features(m, sig, epl))
+        a = gfeat[:, 0:6] / m.scale_seq
+        kh_sub = khard_of(m, gfeat, mask=yld)
+        kh_full = khard_of(m, gfeat)
+    else:
+        a = fgrad(m, sig)
+        kh_sub = kh_full = m.khard
+    ca = _mm(a, CV.T)
+    aca = jnp.sum(ca * a, axis=-1)
+    lam = jnp.sum(ca * deps, axis=-1) / (aca + kh_sub)
+    pdot = jnp.where(yld[:, None], lam[:, None] * a, 0.)
+    Ct = CV[None] - ca[:, :, None] * ca[:, None, :] \
+        / (aca + kh_full)[:, None, None]
+    return pdot, Ct, kh_full
 
 
 def _compliance(CV):
@@ -275,14 +359,17 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     peeq0 = jt.eps_eq(epl0)
     toler = yf_tolerance * (m.sy + peeq0 * m.khard)
     dsig = _mm(deps, CV.T)
-    fy_pred = yf_dist(m, sig0 + dsig, peeq0)
+    fy_pred = yf_dist(m, sig0 + dsig, peeq0, epl0)
     elastic = fy_pred < toler
 
     # ---- plastic branch (computed for all lanes, masked at the end) ----
-    fy0 = yf(m, sig0, peeq0)
+    fy0 = yf(m, sig0, peeq0, epl0)
     split = fy0 < -0.15
     if m.is_svc:
-        fy0_d = ml_yf_dist(m, sig0, jnp.zeros(N, dt))
+        # host convention: the split-distance is evaluated at ZERO
+        # plastic strain (response_batch passes zeros_like(epl))
+        fy0_d = ml_yf_dist(m, sig0, jnp.zeros(N, dt),
+                           jnp.zeros_like(epl0))
         fy0 = jnp.where(split, fy0_d, fy0)
     seq_dsig = seq_hill(m, dsig) if not m.is_svc else jt.seq_j2_voigt(dsig)
     st_scal = jnp.where(split, 1. + fy0 / seq_dsig, 1.)
@@ -293,11 +380,10 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     deps_r = deps - deps_el
 
     # trial with full remaining step -> subdivide?
-    ddepl_t = epl_dot(m, sig, peeq0, CV, deps_r)
-    t_st_t = c_tan(m, sig, CV)
+    ddepl_t, t_st_t, kh_t = _flow_tan(m, sig, peeq0, CV, deps_r, epl0)
     peeq_t = jt.eps_eq(epl0 + ddepl_t)
     sig_t = sig + jnp.einsum('nij,nj->ni', t_st_t, deps_r, precision=jax.lax.Precision.HIGHEST)
-    fy_t = yf_dist(m, sig_t, peeq_t)
+    fy_t = yf_dist(m, sig_t, peeq_t, epl0 + ddepl_t, kh_t)
     sub = fy_t > toler
     deps_r = jnp.where(sub[:, None], deps_r / maxit, deps_r)
     nsteps = jnp.where(sub, maxit, 1)
@@ -308,11 +394,10 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
         sig, depl, grad, fy = carry
         act = it < nsteps
         peeq = jt.eps_eq(epl0)
-        ddepl = epl_dot(m, sig, peeq, CV, deps_r)
-        t_st = c_tan(m, sig, CV)
+        ddepl, t_st, kh_it = _flow_tan(m, sig, peeq, CV, deps_r, epl0)
         eplt = epl0 + depl + ddepl
         sig_n = sig + jnp.einsum('nij,nj->ni', t_st, deps_r, precision=jax.lax.Precision.HIGHEST)
-        fy_n = yf_dist(m, sig_n, jt.eps_eq(eplt))
+        fy_n = yf_dist(m, sig_n, jt.eps_eq(eplt), eplt, kh_it)
         over = fy_n > toler
         seq_n = seq_hill(m, sig_n) if not m.is_svc else jt.seq_j2_voigt(sig_n)
         seq_n = jnp.where(seq_n == 0., 1., seq_n)
@@ -346,7 +431,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
         Ct = Ct.at[:, 1, 2].set(x3).at[:, 2, 1].set(x3)
         t_st_c = t_st - jnp.where(over[:, None, None], Ct, 0.)
         eplt_c = epl0 + depl + ddepl_c
-        fy_c = yf_dist(m, sig_c, jt.eps_eq(eplt_c))
+        fy_c = yf_dist(m, sig_c, jt.eps_eq(eplt_c), eplt_c, kh_it)
         sig_new = jnp.where(over[:, None], sig_c, sig_n)
         ddepl_new = jnp.where(over[:, None], ddepl_c, ddepl)
         fy_new = jnp.where(over, fy_c, fy_n)
@@ -432,10 +517,12 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         else:
             toler = yf_tolerance * (m.sy + peeq_in * m.khard)
         sig_tr = sig_in + _mm(deps_s, CV.T)
+        epl_in = epl0 + depl_in
         # one batched yf call for trial and start states (a single 2N-row
         # kernel matmul beats two N-row ones on the MXU)
         f2 = yf(m, jnp.concatenate([sig_tr, sig_in], axis=0),
-                jnp.concatenate([peeq_in, peeq_in], axis=0))
+                jnp.concatenate([peeq_in, peeq_in], axis=0),
+                jnp.concatenate([epl_in, epl_in], axis=0))
         f_tr, f0 = f2[:sig_in.shape[0]], f2[sig_in.shape[0]:]
         plastic = f_tr > toler
         # elastic fraction of this substep (linear interpolation of f along
@@ -448,9 +535,9 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         def body(s):
             sig, depl, it, _ = s
             peeq = jt.eps_eq(epl0 + depl)
-            f, a = yf_and_fgrad(m, sig, peeq)
+            f, a, kh = yf_and_fgrad(m, sig, peeq, epl0 + depl)
             ca = _mm(a, CV.T)
-            denom = jnp.sum(ca * a, axis=-1) + m.khard
+            denom = jnp.sum(ca * a, axis=-1) + kh
             denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
             # bidirectional Newton on the yield surface along the flow
             # direction: overshoot inside the locus (f < 0) is pulled out
@@ -480,9 +567,10 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         # substep tangent: alpha-blend of elastic stiffness and the
         # consistent tangent at the substep end state (path-average over
         # substeps approximates the secant the FE solver needs)
-        f_end, a = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl))
+        f_end, a, kh = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl),
+                                    epl0 + depl)
         ca = _mm(a, CV.T)
-        denom = jnp.sum(ca * a, axis=-1) + m.khard
+        denom = jnp.sum(ca * a, axis=-1) + kh
         denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
         Ct = CV[None] - ca[:, :, None] * ca[:, None, :] / denom[:, None, None]
         Cs = (alpha[:, None, None] * CV[None]

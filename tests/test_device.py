@@ -215,3 +215,39 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out[0])).all()
     g.dryrun_multichip(8)
+
+
+def test_device_response_work_hardening():
+    """Work-hardening ML material (Ndof=15: stress + plastic-strain
+    features): device response must reproduce the host parity path,
+    including the stateful khard batch statistics (yielding-lane mean in
+    the flow rule, full-batch mean in the tangent and the locus
+    marching)."""
+    from tests.test_extended import _wh_matdata
+    ref, md = _wh_matdata()
+    mat = FE.Material('wh-ml')
+    mat.from_data(md)
+    mat.train_SVC(C=10., gamma=1., Fe=0.8, Ce=0.95, Nseq=2)
+    assert mat.whdat and mat.Ndof == 15
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    N = 24
+    u = rng.normal(size=(N, 6))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    sig = u * 70. * rng.uniform(0.5, 0.9, (N, 1))
+    epl = rng.normal(0., 2e-3, (N, 6))
+    deps = rng.normal(0., 1.5e-3, (N, 6))
+    CV = mat.CV
+    fy_h, s_h, dp_h, g_h, _ = mat.response_batch(sig, epl, deps, CV)
+    fy_d, s_d, dp_d, g_d = con.response(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV))
+    np.testing.assert_allclose(np.asarray(fy_d), fy_h, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_d), s_h, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dp_d), dp_h, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_d), g_h, atol=1e-6)
+    # production kernel runs and hardens: plastic lanes stay near the locus
+    fy, s, dp, g = con.response_fast(
+        dm, (jnp.asarray(sig), jnp.asarray(epl)), jnp.asarray(deps),
+        jnp.asarray(CV), 12, 2)
+    assert np.isfinite(np.asarray(s)).all()
