@@ -95,9 +95,12 @@ inline double eps_eq(const double e[6]) {
                      + 0.5 * (e[3] * e[3] + e[4] * e[4] + e[5] * e[5])));
 }
 
-// SVC decision function on the scaled stress features.
-double fsvc(const Params& p, const double sig[6]) {
-    double feat[6];
+// Build the SVC feature vector: scaled (deviatoric) stress, then for
+// work-hardening parameter sets the scaled plastic strain (reference UMAT
+// calcFSVC: hs(7:12) = eplas/scale_wh); any further feature dofs
+// (acc_strain, max_stress, flag) enter at zero.
+inline int build_features(const Params& p, const double sig[6],
+                          const double epl[6], double feat[/*ndof*/]) {
     double work[6];
     const double* s = sig;
     if (p.dev_only) {
@@ -105,8 +108,18 @@ double fsvc(const Params& p, const double sig[6]) {
         s = work;
     }
     for (int k = 0; k < 6; ++k) feat[k] = s[k] / p.scale_seq;
+    int nw = p.ndof < 12 ? p.ndof : 12;
+    for (int k = 6; k < nw; ++k)
+        feat[k] = (epl ? epl[k - 6] : 0.0) / p.scale_wh;
+    for (int k = nw; k < p.ndof; ++k) feat[k] = 0.0;
+    return p.ndof;
+}
+
+// SVC decision function on the scaled features.
+double fsvc(const Params& p, const double sig[6], const double epl[6]) {
+    double feat[32];
+    const int nd = build_features(p, sig, epl, feat);
     double acc = p.rho;
-    const int nd = p.ndof < 6 ? p.ndof : 6;
     for (int i = 0; i < p.nsv; ++i) {
         const double* v = p.sv + i * p.ndof;
         double d2 = 0.0;
@@ -114,47 +127,47 @@ double fsvc(const Params& p, const double sig[6]) {
             const double h = feat[k] - v[k];
             d2 += h * h;
         }
-        // remaining feature dofs (work hardening etc.) enter at zero
-        for (int k = 6; k < p.ndof; ++k) d2 += v[k] * v[k];
         acc += p.dc[i] * std::exp(-p.gamma * d2);
     }
     return acc;
 }
 
-// Gradient of the decision function w.r.t. (unscaled) stress.
-void grad_fsvc(const Params& p, const double sig[6], double grad[6]) {
-    double feat[6];
-    double work[6];
-    const double* s = sig;
-    if (p.dev_only) {
-        deviator(sig, work);
-        s = work;
-    }
-    for (int k = 0; k < 6; ++k) feat[k] = s[k] / p.scale_seq;
-    double g[6] = {0, 0, 0, 0, 0, 0};
-    const int nd = p.ndof < 6 ? p.ndof : 6;
+// Gradient of the decision function w.r.t. (unscaled) stress; for
+// work-hardening parameter sets also extracts the hardening modulus from
+// the plastic-strain feature components (reference UMAT calcGradFSVC).
+void grad_fsvc(const Params& p, const double sig[6], const double epl[6],
+               double grad[6], double* khard_out) {
+    double feat[32];
+    const int nd = build_features(p, sig, epl, feat);
+    double g[32] = {0};
     for (int i = 0; i < p.nsv; ++i) {
         const double* v = p.sv + i * p.ndof;
         double d2 = 0.0;
-        double h[6];
+        double h[32];
         for (int k = 0; k < nd; ++k) {
             h[k] = feat[k] - v[k];
             d2 += h[k] * h[k];
         }
-        for (int k = 6; k < p.ndof; ++k) d2 += v[k] * v[k];
         const double w = p.dc[i] * std::exp(-p.gamma * d2);
         for (int k = 0; k < nd; ++k) g[k] += w * (-2.0 * p.gamma) * h[k];
     }
     for (int k = 0; k < 6; ++k) grad[k] = g[k] / p.scale_seq;
+    if (khard_out) {
+        double kh = 0.0;
+        const int nw = p.ndof < 12 ? p.ndof : 12;
+        for (int k = 6; k < nw; ++k)
+            kh -= g[k] * p.scale_seq / p.scale_wh;
+        *khard_out = kh > 0.0 ? kh : 0.0;
+    }
 }
 
 // Bisection along the ray t * su for the yield onset (fsvc(t su) = 0).
-double find_root(const Params& p, const double su[6], double t0, double t1,
-                 int maxiter = 80, double xtol = 1e-6) {
+double find_root(const Params& p, const double su[6], const double epl[6],
+                 double t0, double t1, int maxiter = 80, double xtol = 1e-6) {
     double s[6];
     auto f = [&](double t) {
         for (int k = 0; k < 6; ++k) s[k] = t * su[k];
-        return fsvc(p, s);
+        return fsvc(p, s, epl);
     };
     double f0 = f(t0);
     double f1 = f(t1);
@@ -182,9 +195,10 @@ inline void matvec6(const double A[6][6], const double x[6], double y[6]) {
 
 // Associated flow + consistent tangent for one substep.
 void flow_step(const Params& p, double sig[6], double epl[6],
-               const double deps[6], double ddsdde[6][6], double khard) {
+               const double deps[6], double ddsdde[6][6]) {
     double a[6];
-    grad_fsvc(p, sig, a);
+    double khard = 0.0;
+    grad_fsvc(p, sig, epl, a, &khard);
     double ca[6];
     matvec6(p.CV, a, ca);
     double aCa = 0.0, aCde = 0.0;
@@ -213,12 +227,28 @@ extern "C" {
 
 double mlumat_fsvc(const double* props, const double* sig) {
     const Params p = parse_props(props);
-    return fsvc(p, sig);
+    return fsvc(p, sig, nullptr);
 }
 
 void mlumat_grad_fsvc(const double* props, const double* sig, double* grad) {
     const Params p = parse_props(props);
-    grad_fsvc(p, sig, grad);
+    grad_fsvc(p, sig, nullptr, grad, nullptr);
+}
+
+// Work-hardening-aware variants: plastic strain enters the feature vector;
+// grad also returns the extracted hardening modulus.
+double mlumat_fsvc_wh(const double* props, const double* sig,
+                      const double* epl) {
+    const Params p = parse_props(props);
+    return fsvc(p, sig, epl);
+}
+
+double mlumat_grad_fsvc_wh(const double* props, const double* sig,
+                           const double* epl, double* grad) {
+    const Params p = parse_props(props);
+    double kh = 0.0;
+    grad_fsvc(p, sig, epl, grad, &kh);
+    return kh;
 }
 
 // Full constitutive update for one material point, standard Voigt order.
@@ -240,7 +270,7 @@ double mlumat_step(const double* props, double* stress, double* statev,
     matvec6(p.CV, deps, dsig);
     double sig_tr[6];
     for (int k = 0; k < 6; ++k) sig_tr[k] = sig[k] + dsig[k];
-    const double fy_tr = fsvc(p, sig_tr);
+    const double fy_tr = fsvc(p, sig_tr, epl);
     double (*D)[6] = reinterpret_cast<double(*)[6]>(ddsdde);
 
     if (fy_tr < 0.) {  // purely elastic
@@ -253,14 +283,14 @@ double mlumat_step(const double* props, double* stress, double* statev,
 
     // split the increment at the yield onset (bisection along the stress ray)
     double el_frac = 0.0;
-    if (fsvc(p, sig) < -1e-3) {
+    if (fsvc(p, sig, epl) < -1e-3) {
         const double seq0 = seq_j2(sig);
         const double seq1 = seq_j2(sig_tr);
         if (seq1 > seq0 + 1e-12) {
             double su[6];
             const double inv = 1.0 / seq1;
             for (int k = 0; k < 6; ++k) su[k] = sig_tr[k] * inv;
-            const double t_y = find_root(p, su, seq0 * 0.5, seq1);
+            const double t_y = find_root(p, su, epl, seq0 * 0.5, seq1);
             el_frac = (t_y - seq0) / (seq1 - seq0);
             if (el_frac < 0.) el_frac = 0.;
             if (el_frac > 1.) el_frac = 1.;
@@ -275,17 +305,17 @@ double mlumat_step(const double* props, double* stress, double* statev,
         deps_r[k] = deps[k] * (1.0 - el_frac) / nsub;
     double fy = fy_tr;
     for (int it = 0; it < nsub; ++it) {
-        flow_step(p, sig, epl, deps_r, D, 0.0);
-        fy = fsvc(p, sig);
+        flow_step(p, sig, epl, deps_r, D);
+        fy = fsvc(p, sig, epl);
         if (fy > 0.) {
             // relax the stress radially back to the locus
             const double seq = seq_j2(sig);
             if (seq > 1e-8) {
                 double su[6];
                 for (int k = 0; k < 6; ++k) su[k] = sig[k] / seq;
-                const double t_y = find_root(p, su, 0.5 * seq, seq);
+                const double t_y = find_root(p, su, epl, 0.5 * seq, seq);
                 for (int k = 0; k < 6; ++k) sig[k] = su[k] * t_y;
-                fy = fsvc(p, sig);
+                fy = fsvc(p, sig, epl);
             }
         }
     }

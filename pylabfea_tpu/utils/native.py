@@ -39,6 +39,10 @@ def load():
     lib.mlumat_fsvc.argtypes = [dptr, dptr]
     lib.mlumat_grad_fsvc.restype = None
     lib.mlumat_grad_fsvc.argtypes = [dptr, dptr, dptr]
+    lib.mlumat_fsvc_wh.restype = ctypes.c_double
+    lib.mlumat_fsvc_wh.argtypes = [dptr, dptr, dptr]
+    lib.mlumat_grad_fsvc_wh.restype = ctypes.c_double
+    lib.mlumat_grad_fsvc_wh.argtypes = [dptr, dptr, dptr, dptr]
     lib.mlumat_step.restype = ctypes.c_double
     lib.mlumat_step.argtypes = [dptr, dptr, dptr, dptr, dptr, ctypes.c_int]
     lib.mlumat_step_abaqus.restype = ctypes.c_double
@@ -72,6 +76,23 @@ class NativeMLMaterial:
         out = np.zeros(6)
         self.lib.mlumat_grad_fsvc(_dp(self.props), _dp(sig), _dp(out))
         return out
+
+    def fsvc_wh(self, sig, epl):
+        """Decision function with plastic-strain (work-hardening) features
+        (reference UMAT calcFSVC with nsd > 6)."""
+        sig = np.ascontiguousarray(sig, dtype=np.float64)
+        epl = np.ascontiguousarray(epl, dtype=np.float64)
+        return self.lib.mlumat_fsvc_wh(_dp(self.props), _dp(sig), _dp(epl))
+
+    def grad_fsvc_wh(self, sig, epl):
+        """Stress gradient + extracted hardening modulus for
+        work-hardening parameter sets; returns (grad (6,), khard)."""
+        sig = np.ascontiguousarray(sig, dtype=np.float64)
+        epl = np.ascontiguousarray(epl, dtype=np.float64)
+        out = np.zeros(6)
+        kh = self.lib.mlumat_grad_fsvc_wh(_dp(self.props), _dp(sig),
+                                          _dp(epl), _dp(out))
+        return out, kh
 
     def step(self, stress, statev, dstran, max_substeps=20, abaqus=False):
         """One constitutive update.  Returns (fy, stress, statev, ddsdde)."""

@@ -86,3 +86,30 @@ def test_step_abaqus_convention(exported):
     f2, s2, v2, d2 = nm.step(np.zeros(6), np.zeros(14), deps_abq, abaqus=True)
     np.testing.assert_allclose(s2[[0, 1, 2, 5, 4, 3]], s1, atol=1e-12)
     assert abs(f1 - f2) < 1e-12
+
+
+def test_native_work_hardening_features(tmp_path):
+    """Work-hardening parameter sets (Ndof=15): the native kernel builds the
+    plastic-strain feature block like the reference UMAT (calcFSVC
+    hs(7:12) = eplas/scale_wh) and extracts the hardening modulus from the
+    gradient (calcGradFSVC)."""
+    from tests.test_extended import _wh_matdata
+    ref, md = _wh_matdata()
+    mat = FE.Material('wh-native')
+    mat.from_data(md)
+    mat.train_SVC(C=10., gamma=1., Fe=0.8, Ce=0.95, Nseq=2)
+    assert mat.Ndof == 15
+    mat.export_MLparam('test', file='whn', path=str(tmp_path))
+    nm = native.NativeMLMaterial(str(tmp_path / 'whn-svm.csv'))
+    rng = np.random.default_rng(21)
+    for _ in range(6):
+        sig = rng.normal(0., 50., 6)
+        epl = rng.normal(0., 3e-3, 6)
+        f_py = float(mat.calc_yf(sig, epl=epl))
+        f_cc = nm.fsvc_wh(sig, epl)
+        assert abs(f_cc - f_py) < 1e-8
+        g_py = mat.calc_fgrad(sig[None, :], epl=epl[None, :])[0]
+        kh_py = mat.khard
+        g_cc, kh_cc = nm.grad_fsvc_wh(sig, epl)
+        np.testing.assert_allclose(g_cc, g_py, atol=1e-10)
+        assert abs(kh_cc - kh_py) < 1e-8
