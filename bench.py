@@ -45,7 +45,9 @@ def flagship(dtype, nsv=512, sy=150.):
         sv=jnp.asarray(sv, dtype), dc=jnp.asarray(dc, dtype),
         rho=jnp.asarray(0.05, dtype), gamma=jnp.asarray(2.5, dtype),
         scale_seq=jnp.asarray(sy, dtype),
-        scale_wh=jnp.asarray(1., dtype), is_svc=True, dev_only=False)
+        scale_wh=jnp.asarray(1., dtype),
+        feat_mean=jnp.zeros(0, dtype), feat_scale=jnp.zeros(0, dtype),
+        tex=jnp.zeros(0, dtype), is_svc=True, dev_only=False)
     return dm, (sv, dc, 0.05, 2.5, sy)
 
 

@@ -40,6 +40,9 @@ class DeviceMaterial(NamedTuple):
     gamma: jnp.ndarray       # scalar kernel width
     scale_seq: jnp.ndarray   # scalar feature scale (stress)
     scale_wh: jnp.ndarray    # scalar feature scale (plastic strain, WH)
+    feat_mean: jnp.ndarray   # (ndof,) StandardScaler mean (texture), else (0,)
+    feat_scale: jnp.ndarray  # (ndof,) StandardScaler scale (texture), else (0,)
+    tex: jnp.ndarray         # (tdim,) fixed texture descriptor, else (0,)
     is_svc: bool             # static (aux data, not a traced leaf)
     dev_only: bool           # static: deviatoric stress features
 
@@ -55,24 +58,41 @@ def _dm_unflatten(aux, children):
 jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
 
 
-def device_material_from(mat, dtype=jnp.float32):
+def device_material_from(mat, dtype=jnp.float32, tex=None):
     """Build a DeviceMaterial from a host ``Material``."""
     as_d = lambda x: jnp.asarray(x, dtype=dtype)
     if mat.ML_yf:
         p = mat._svc
         ndof = p.support_vectors.shape[1]
-        if ndof not in (6, 15):
-            raise NotImplementedError(
-                'device constitutive path supports stress-only (Ndof=6) or '
-                'stress + work-hardening (Ndof=15) SVC features; '
-                f'got Ndof={ndof} (cylindrical sdim=3 and texture features '
-                'run on the host profile)')
+        txdat = bool(getattr(mat, 'txdat', False))
+        if txdat:
+            if getattr(mat, 'pca', None) is not None:
+                raise NotImplementedError('device path: PCA (ADV) texture '
+                                          'descriptors run on the host '
+                                          'profile')
+            if tex is None:
+                raise ValueError('texture-conditioned material: pass the '
+                                 'fixed texture descriptor via tex=')
+            fm = as_d(mat.std_scaler.mean_)
+            fs = as_d(mat.std_scaler.scale_)
+            tx = as_d(np.asarray(tex, dtype=float))
+        else:
+            if ndof not in (6, 15):
+                raise NotImplementedError(
+                    'device constitutive path supports stress-only (Ndof=6), '
+                    'stress + work-hardening (Ndof=15) or texture-scaled '
+                    f'SVC features; got Ndof={ndof} (cylindrical sdim=3 '
+                    'runs on the host profile)')
+            fm = as_d(np.zeros(0))
+            fs = as_d(np.zeros(0))
+            tx = as_d(np.zeros(0))
         return DeviceMaterial(
             hill=as_d(np.ones(6)), sy=as_d(mat.sy), khard=as_d(mat.khard or 0.),
             drucker=as_d(0.), sv=as_d(p.support_vectors), dc=as_d(p.dual_coef),
             rho=as_d(p.intercept), gamma=as_d(p.gamma),
             scale_seq=as_d(mat.scale_seq),
             scale_wh=as_d(getattr(mat, 'scale_wh', None) or 1.),
+            feat_mean=fm, feat_scale=fs, tex=tx,
             is_svc=True, dev_only=bool(mat.dev_only))
     hill = np.ones(6)
     hill[:len(mat.hill)] = mat.hill
@@ -81,7 +101,8 @@ def device_material_from(mat, dtype=jnp.float32):
         drucker=as_d(mat.drucker or 0.),
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
         gamma=as_d(1.), scale_seq=as_d(mat.sy), scale_wh=as_d(1.),
-        is_svc=False, dev_only=False)
+        feat_mean=as_d(np.zeros(0)), feat_scale=as_d(np.zeros(0)),
+        tex=as_d(np.zeros(0)), is_svc=False, dev_only=False)
 
 
 # -----------------------------------------------------------------
@@ -153,19 +174,36 @@ def svc_decision_and_gradient(m: DeviceMaterial, x):
     return f, g
 
 
+def _has_wh(m: DeviceMaterial):
+    """Static: does the feature vector carry the work-hardening block?"""
+    return m.sv.shape[-1] - 6 - m.tex.shape[0] == 9
+
+
 def _features(m: DeviceMaterial, sig, epl):
-    """SVC feature rows from stress (and plastic strain for work-hardening
-    materials): host ``create_scaled_input`` conventions — deviatoric
-    projection if ``dev_only``, sig/scale_seq, then for Ndof=15 the
-    epl/scale_wh block plus zeroed (acc_strain, max_stress, flag) columns
-    (the FE solver's defaults, material.py:2301-2368)."""
+    """SVC feature rows from stress (and plastic strain / texture):
+    host ``create_scaled_input`` conventions — deviatoric projection if
+    ``dev_only``; without texture sig/scale_seq and epl/scale_wh blocks
+    plus zeroed (acc_strain, max_stress, flag) columns (the FE solver's
+    defaults); with texture the RAW feature vector through the fitted
+    StandardScaler (material.py:2301-2368)."""
     s = jt.sig_dev(sig) if m.dev_only else sig
+    N = sig.shape[0]
+    tdim = m.tex.shape[0]
+    if tdim > 0:
+        parts = [s]
+        if _has_wh(m):
+            if epl is None:
+                epl = jnp.zeros_like(sig)
+            parts += [epl, jnp.zeros((N, 3), sig.dtype)]
+        parts.append(jnp.broadcast_to(m.tex, (N, tdim)).astype(sig.dtype))
+        x_raw = jnp.concatenate(parts, axis=-1)
+        return (x_raw - m.feat_mean) / m.feat_scale
     x = s / m.scale_seq
     if m.sv.shape[-1] == 6:
         return x
     if epl is None:
         epl = jnp.zeros_like(sig)
-    extras = jnp.zeros((sig.shape[0], 3), sig.dtype)
+    extras = jnp.zeros((N, 3), sig.dtype)
     return jnp.concatenate([x, epl / m.scale_wh, extras], axis=-1)
 
 
@@ -176,13 +214,22 @@ def _khard_lanes(m: DeviceMaterial, g_feat):
     return -jnp.sum(g_feat[:, 6:12], axis=-1) * m.scale_seq / m.scale_wh
 
 
+def _grad_to_stress(m: DeviceMaterial, g_feat):
+    """Chain rule from feature space to stress space: /scale_seq, or the
+    per-component StandardScaler scales for texture materials
+    (material.py:545-548)."""
+    if m.tex.shape[0] > 0:
+        return g_feat[:, 0:6] / m.feat_scale[0:6]
+    return g_feat[:, 0:6] / m.scale_seq
+
+
 def khard_of(m: DeviceMaterial, g_feat, mask=None):
     """Hardening modulus: the batch-mean work-hardening rate derived from
     the SVC gradient's plastic-strain components — a SCALAR per batch like
     the host's ``self.khard`` side effect (restricted to ``mask`` lanes
     when given, as in _epl_dot_rows); the material's static khard
     otherwise."""
-    if not m.is_svc or m.sv.shape[-1] == 6:
+    if not m.is_svc or not _has_wh(m):
         return m.khard
     lanes = _khard_lanes(m, g_feat)
     if mask is None:
@@ -203,7 +250,7 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
     convention: the stress-feature components / scale_seq, with no
     deviatoric chain term even when ``dev_only`` — material.py:826.)"""
     if m.is_svc:
-        return svc_gradient(m, _features(m, sig, epl))[:, 0:6] / m.scale_seq
+        return _grad_to_stress(m, svc_gradient(m, _features(m, sig, epl)))
     hp = m.hill
     seq = seq_hill(m, sig)
     sdev = jt.sig_dev(sig)
@@ -225,7 +272,7 @@ def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
     kernel-matrix pass for SVC).  Returns (f, g (N, 6), khard scalar)."""
     if m.is_svc:
         f, g = svc_decision_and_gradient(m, _features(m, sig, epl))
-        return f, g[:, 0:6] / m.scale_seq, khard_of(m, g)
+        return f, _grad_to_stress(m, g), khard_of(m, g)
     return yf(m, sig, peeq), fgrad(m, sig), m.khard
 
 
@@ -310,7 +357,7 @@ def _flow_tan(m: DeviceMaterial, sig, peeq, CV, deps, epl):
     yld = yfun > yf_tolerance
     if m.is_svc:
         _, gfeat = svc_decision_and_gradient(m, _features(m, sig, epl))
-        a = gfeat[:, 0:6] / m.scale_seq
+        a = _grad_to_stress(m, gfeat)
         kh_sub = khard_of(m, gfeat, mask=yld)
         kh_full = khard_of(m, gfeat)
     else:
