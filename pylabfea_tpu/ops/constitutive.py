@@ -59,7 +59,15 @@ jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
 
 
 def device_material_from(mat, dtype=jnp.float32, tex=None):
-    """Build a DeviceMaterial from a host ``Material``."""
+    """Build a DeviceMaterial from a host ``Material``.
+
+    Supported SVC feature layouts: cylindrical sdim=3 (Ndof=2; note the
+    reference computes the deviatoric polar angle of general 6-D stresses
+    through LAPACK eig's raw eigenvalue order, which the eigh-based device
+    path cannot replicate bitwise — principal-stress inputs and coaxial
+    states match exactly), 6-D stress (plus ``dev_only``), stress +
+    work-hardening (Ndof=15) and texture-scaled features (fixed descriptor
+    via ``tex=``; PCA/ADV descriptors host-only)."""
     as_d = lambda x: jnp.asarray(x, dtype=dtype)
     if mat.ML_yf:
         p = mat._svc
@@ -77,12 +85,11 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
             fs = as_d(mat.std_scaler.scale_)
             tx = as_d(np.asarray(tex, dtype=float))
         else:
-            if ndof not in (6, 15):
+            if ndof not in (2, 6, 15):
                 raise NotImplementedError(
-                    'device constitutive path supports stress-only (Ndof=6), '
-                    'stress + work-hardening (Ndof=15) or texture-scaled '
-                    f'SVC features; got Ndof={ndof} (cylindrical sdim=3 '
-                    'runs on the host profile)')
+                    'device constitutive path supports cylindrical (Ndof=2), '
+                    'stress-only (Ndof=6), stress + work-hardening (Ndof=15) '
+                    f'or texture-scaled SVC features; got Ndof={ndof}')
             fm = as_d(np.zeros(0))
             fs = as_d(np.zeros(0))
             tx = as_d(np.zeros(0))
@@ -186,6 +193,17 @@ def _features(m: DeviceMaterial, sig, epl):
     plus zeroed (acc_strain, max_stress, flag) columns (the FE solver's
     defaults); with texture the RAW feature vector through the fitted
     StandardScaler (material.py:2301-2368)."""
+    if m.sv.shape[-1] == 2:
+        # cylindrical sdim=3 features (seq/scale - 1, theta/pi): invariants,
+        # so 6-D Voigt and 3-D principal inputs give identical values
+        if sig.shape[-1] == 6:
+            seq = jt.seq_j2_voigt(sig)
+            sp, _ = jt.sig_princ_device(sig)
+        else:
+            seq = jt.seq_j2_princ(sig)
+            sp = sig
+        theta = jt.polar_ang_princ(sp)
+        return jnp.stack([seq / m.scale_seq - 1., theta / jnp.pi], axis=-1)
     s = jt.sig_dev(sig) if m.dev_only else sig
     N = sig.shape[0]
     tdim = m.tex.shape[0]
@@ -214,10 +232,48 @@ def _khard_lanes(m: DeviceMaterial, g_feat):
     return -jnp.sum(g_feat[:, 6:12], axis=-1) * m.scale_seq / m.scale_wh
 
 
-def _grad_to_stress(m: DeviceMaterial, g_feat):
-    """Chain rule from feature space to stress space: /scale_seq, or the
+def _jac_cyl(sp):
+    """Jacobian of the (seq, theta, p) transform for principal-stress rows
+    (host Material._jac_cyl, reference material.py:780-795) — including the
+    faithful all-ones rows for nearly-hydrostatic states (vn <= 0.1)."""
+    dt = sp.dtype
+    av = jnp.asarray(jt.a_vec, dt)
+    bv = jnp.asarray(jt.b_vec, dt)
+    dev = jt.sig_dev(sp)
+    vn = jnp.linalg.norm(dev, axis=-1) * jnp.sqrt(jnp.asarray(1.5, dt))
+    big = vn > 0.1
+    vs = jnp.where(big, vn, 1.)
+    dseqds = 3. * dev / vs[:, None]
+    dsa = sp @ av
+    dsb = sp @ bv
+    den = dsa ** 2 + dsb ** 2
+    den = jnp.where(den == 0., 1., den)
+    # Re(-i ((a + i b)/sc - dseqds/vs)) = Im((a + i b)/sc)
+    col1 = (bv[None, :] * dsa[:, None] - av[None, :] * dsb[:, None]) \
+        / den[:, None]
+    ones = jnp.ones_like(dseqds)
+    c0 = jnp.where(big[:, None], dseqds, ones[:, :])
+    c1 = jnp.where(big[:, None], col1, ones[:, :])
+    c2 = jnp.where(big[:, None], jnp.full_like(dseqds, 1. / 3.), ones)
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+def _svc_stress_grad(m: DeviceMaterial, sig, g_feat):
+    """Chain rule from feature space to 6-D stress space: /scale_seq, the
     per-component StandardScaler scales for texture materials
-    (material.py:545-548)."""
+    (material.py:545-548), or the cylindrical Jacobian for sdim=3 (the host
+    maps (1, dtheta) through _jac_cyl into principal space and leaves the
+    shear components zero, material.py:537-543)."""
+    if m.sv.shape[-1] == 2:
+        sp, _ = jt.sig_princ_device(sig) if sig.shape[-1] == 6 \
+            else (sig, None)
+        jac = _jac_cyl(sp)
+        vec = jnp.stack([jnp.ones_like(g_feat[:, 0]), g_feat[:, 1],
+                         jnp.zeros_like(g_feat[:, 0])], axis=-1)
+        a3 = jnp.einsum('nij,nj->ni', jac, vec,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.concatenate(
+            [a3, jnp.zeros((sig.shape[0], 3), sig.dtype)], axis=-1)
     if m.tex.shape[0] > 0:
         return g_feat[:, 0:6] / m.feat_scale[0:6]
     return g_feat[:, 0:6] / m.scale_seq
@@ -250,7 +306,8 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
     convention: the stress-feature components / scale_seq, with no
     deviatoric chain term even when ``dev_only`` — material.py:826.)"""
     if m.is_svc:
-        return _grad_to_stress(m, svc_gradient(m, _features(m, sig, epl)))
+        return _svc_stress_grad(m, sig,
+                                svc_gradient(m, _features(m, sig, epl)))
     hp = m.hill
     seq = seq_hill(m, sig)
     sdev = jt.sig_dev(sig)
@@ -272,7 +329,7 @@ def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
     kernel-matrix pass for SVC).  Returns (f, g (N, 6), khard scalar)."""
     if m.is_svc:
         f, g = svc_decision_and_gradient(m, _features(m, sig, epl))
-        return f, _grad_to_stress(m, g), khard_of(m, g)
+        return f, _svc_stress_grad(m, sig, g), khard_of(m, g)
     return yf(m, sig, peeq), fgrad(m, sig), m.khard
 
 
@@ -283,7 +340,8 @@ def ml_yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None,
     marching (x0 *= 0.98 down / x1 *= 1.02 up) then Brent root find.  For
     work-hardening materials the plastic-strain features stay fixed while
     the stress is scaled (host find_yloc convention)."""
-    seq = jt.seq_j2_voigt(sig)
+    _seq = jt.seq_j2_voigt if sig.shape[-1] == 6 else jt.seq_j2_princ
+    seq = _seq(sig)
     kh = m.khard if khard is None else khard
     sflow = m.sy + peeq * kh
     small = seq < 0.01
@@ -312,7 +370,7 @@ def ml_yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None,
     x1 = march(x1, 1.02, lambda x, f: (f < 0.) & (x < 5. * sflow))
     xs, ok = brent_jax(f_of, x0, x1, xtol=1.e-5)
     good = ok & (xs < 4. * sflow) & ~small
-    seq_su = jt.seq_j2_voigt(su)
+    seq_su = _seq(su)
     return jnp.where(good, seq - xs * seq_su, seq - 0.85 * sflow)
 
 
@@ -357,7 +415,7 @@ def _flow_tan(m: DeviceMaterial, sig, peeq, CV, deps, epl):
     yld = yfun > yf_tolerance
     if m.is_svc:
         _, gfeat = svc_decision_and_gradient(m, _features(m, sig, epl))
-        a = _grad_to_stress(m, gfeat)
+        a = _svc_stress_grad(m, sig, gfeat)
         kh_sub = khard_of(m, gfeat, mask=yld)
         kh_full = khard_of(m, gfeat)
     else:

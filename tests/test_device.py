@@ -291,3 +291,31 @@ def test_device_texture_features():
     np.testing.assert_allclose(
         np.asarray(con.ml_yf_dist(dm, jnp.asarray(sig), jnp.zeros(10))),
         d_h, atol=1e-8)
+
+
+def test_device_cylindrical_sdim3():
+    """Cylindrical (sdim=3, Ndof=2) SVC features on device: yield function,
+    gradient (via the (seq, theta, p) Jacobian) and locus distance match
+    the host on principal-stress inputs.  (For general 6-D stresses the
+    reference's principal ordering follows LAPACK eig's raw output order,
+    which eigh-based device code cannot replicate bitwise — documented in
+    device_material_from.)"""
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=150., hill=[1.2, 1., 0.8], sdim=3)
+    mat = FE.Material('ml3')
+    mat.train_SVC(C=10, gamma=4., mat_ref=ref, Nlc=150, Nseq=4)
+    assert mat.Ndof == 2
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    sp = rng.normal(0., 80., (16, 3))
+    np.testing.assert_allclose(
+        np.asarray(con.yf(dm, jnp.asarray(sp), jnp.zeros(16))),
+        mat.calc_yf(sp), atol=1e-10)
+    _, g_d, _ = con.yf_and_fgrad(dm, jnp.asarray(sp), jnp.zeros(16))
+    np.testing.assert_allclose(np.asarray(g_d)[:, :3],
+                               mat.calc_fgrad(sp), atol=1e-10)
+    d_h = np.array([mat.ML_full_yf(sp[i], verb=False) for i in range(16)])
+    np.testing.assert_allclose(
+        np.asarray(con.ml_yf_dist(dm, jnp.asarray(sp), jnp.zeros(16))),
+        d_h, atol=1e-8)
