@@ -324,6 +324,33 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
     return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
 
 
+def hessian(m: DeviceMaterial, sig, epl=None):
+    """Hessian of the ML yield surface w.r.t. stress (device twin of
+    Material.calc_hessian): vectorized RBF-kernel Hessian over the feature
+    rows, stress block sliced out and scaled with the host's conventions
+    (a single /scale_seq without a StandardScaler — the reference's
+    convention, material.py:645-650 — and the squared per-component scales
+    with one).  SVC materials with 6-D stress features only."""
+    if not m.is_svc or m.sv.shape[-1] == 2:
+        raise NotImplementedError('hessian: SVC materials with 6-D stress '
+                                  'features only')
+    x = _features(m, sig, epl)
+    diff = m.sv[None, :, :] - x[:, None, :]
+    k = jnp.exp(-m.gamma * jnp.sum(diff * diff, axis=-1))
+    w = m.dc[None, :] * k
+    g = m.gamma
+    h = 4. * g * g * jnp.einsum('ns,nsi,nsj->nij', w, diff, diff,
+                                precision=jax.lax.Precision.HIGHEST)
+    tr = 2. * g * jnp.sum(w, axis=-1)
+    ii = jnp.arange(x.shape[-1])
+    h = h.at[:, ii, ii].add(-tr[:, None])
+    h6 = h[:, 0:6, 0:6]
+    if m.tex.shape[0] > 0:
+        sf = 1. / (jnp.ones(6, sig.dtype) * m.scale_seq)
+        return h6 * (sf[:, None] * sf[None, :])[None]
+    return h6 / m.scale_seq
+
+
 def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
     """Fused yield function + stress gradient + hardening modulus (one
     kernel-matrix pass for SVC).  Returns (f, g (N, 6), khard scalar)."""

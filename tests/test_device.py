@@ -319,3 +319,13 @@ def test_device_cylindrical_sdim3():
     np.testing.assert_allclose(
         np.asarray(con.ml_yf_dist(dm, jnp.asarray(sp), jnp.zeros(16))),
         d_h, atol=1e-8)
+
+
+def test_device_hessian(svc_mat):
+    """RBF-kernel Hessian on device matches host calc_hessian (including
+    the reference's single-/scale_seq scaling convention)."""
+    dm = con.device_material_from(svc_mat, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    sig = rng.normal(0., 60., (8, 6))
+    np.testing.assert_allclose(np.asarray(con.hessian(dm, jnp.asarray(sig))),
+                               svc_mat.calc_hessian(sig), atol=1e-12)

@@ -77,3 +77,12 @@ def test_elastic_coefficients_example(tmp_path, monkeypatch):
     assert C.shape == (6, 6)
     np.testing.assert_allclose(C, C.T, atol=1e-8)
     assert C[0, 0] > C[3, 3] > 0.
+
+
+def test_device_characterization_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import device_characterization
+    mat = device_characterization.main(Nel=4, plot=False)
+    for sel in ('stx', 'sty', 'et2', 'ect'):
+        assert np.isfinite(mat.propJ2[sel]['ys'])
+        assert 80. < mat.propJ2[sel]['ys'] < 160.
