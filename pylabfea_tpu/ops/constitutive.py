@@ -611,6 +611,33 @@ def response_chunked(m: DeviceMaterial, state, deps, CV, maxit=50,
     return unb(fy), unb(s), unb(dp), unb(g)
 
 
+def response_fast_chunked(m: DeviceMaterial, state, deps, CV, maxiter=12,
+                          nsub=1, chunk=1 << 21):
+    """``response_fast`` evaluated in fixed-size chunks via ``lax.map`` when
+    the batch exceeds ``chunk`` points — bounds the live (chunk, nsv) SVC
+    kernel matrices so multi-million-point batches fit in HBM."""
+    sig0, epl0 = state
+    N = sig0.shape[0]
+    if N <= chunk:
+        return response_fast(m, state, deps, CV, maxiter, nsub)
+    pad = (-N) % chunk
+
+    def pad0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, chunk, *x.shape[1:]),
+        (pad0(sig0), pad0(epl0), pad0(deps)))
+
+    def one(block):
+        s, e, d = block
+        return response_fast(m, (s, e), d, CV, maxiter, nsub)
+
+    fy, s, dp, g = jax.lax.map(one, blocks)
+    unb = lambda x: x.reshape(-1, *x.shape[2:])[:N]
+    return unb(fy), unb(s), unb(dp), unb(g)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     """Production return map — cutting-plane closest-point projection.

@@ -555,10 +555,12 @@ def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
     CV = jnp.asarray(CV, dtype=state.u.dtype)
     deps = element_deps(md, du)
     if fast:
-        fy, sig_n, depl_n, grad = con.response_fast(
+        # chunked above ~2M points: the live (N, nsv) SVC kernel matrices
+        # otherwise exceed HBM (observed OOM at 2048^2 x 512 SVs on v5e)
+        fy, sig_n, depl_n, grad = con.response_fast_chunked(
             mat, (state.sig, state.epl), deps, CV, 12, nsub)
     else:
-        fy, sig_n, depl_n, grad = con.response(
+        fy, sig_n, depl_n, grad = con.response_chunked(
             mat, (state.sig, state.epl), deps, CV)
     if md.grid is not None:
         gP = elstiff_planes(md, grad)
