@@ -22,7 +22,6 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
-import jax.numpy as jnp
 
 #: Default dtype for the parity (CPU) profile.
 DTYPE_PARITY = np.float64

@@ -21,7 +21,7 @@ import warnings
 
 import numpy as np
 
-from pylabfea_tpu.core.tensors import Stress, eps_eq, sig_eq_j2, yf_tolerance
+from pylabfea_tpu.core.tensors import Stress, eps_eq, yf_tolerance
 
 
 class Model(object):

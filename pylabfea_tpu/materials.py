@@ -16,7 +16,6 @@ elements of one material in a single call instead of a Python loop, and the
 same math is jitted in ``pylabfea_tpu.ops.constitutive`` for the TPU profile.
 """
 import pickle
-import sys
 import time
 import warnings
 
@@ -25,7 +24,7 @@ from scipy.optimize import fsolve, root_scalar
 
 from pylabfea_tpu.core.tensors import (
     a_vec, b_vec, yf_tolerance, eps_eq, sig_polar_ang, sig_eq_j2,
-    sig_cyl2princ, sig_princ, sig_dev, sig_princ2cyl,
+    sig_cyl2princ, sig_princ, sig_dev,
 )
 from pylabfea_tpu.ops import svc as svc_ops
 from pylabfea_tpu.ops.rootfind import brent_vec

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pylabfea_tpu.ops import constitutive as con
-from pylabfea_tpu.ops import jtensors as jt
 
 
 class MeshData(NamedTuple):
