@@ -88,15 +88,22 @@ def prolong(coarse, nnXf, nnYf):
     return tuple(_prolong_plane(p, nnXf, nnYf) for p in coarse)
 
 
+#: smoother selection: 'jacobi' (damped, omega=0.7) or 'chebyshev'
+#: (degree-nu polynomial on D^-1 K, eigenvalue interval [lmax/4, lmax])
+SMOOTHER = 'jacobi'
+
+
 class MGLevel:
     """One level of the hierarchy: mesh data + assembled element stiffness
-    (planes layout) + Jacobi diagonal and BC mask as plane tuples."""
+    (planes layout) + Jacobi diagonal, BC mask (plane tuples) and an
+    estimate of the largest eigenvalue of D^-1 K (Chebyshev smoother)."""
 
-    def __init__(self, md, Ke, diag, fixed):
+    def __init__(self, md, Ke, diag, fixed, lmax=None):
         self.md = md
         self.Ke = Ke
         self.diag = diag
         self.fixed = fixed
+        self.lmax = lmax
 
 
 def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
@@ -106,8 +113,27 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
     while True:
         Ke = fek.element_stiffness_planes(cur_md, cur_el)
         fixT = fek._split(cur_md.fixed)
-        levels.append(MGLevel(cur_md, Ke,
-                              fek.k_diag_t(cur_md, Ke, fixT), fixT))
+        diag = fek.k_diag_t(cur_md, Ke, fixT)
+        lmax = None
+        if SMOOTHER == 'chebyshev':
+            # power iteration for lambda_max(D^-1 K); deterministic start
+            nnX, nnY = cur_md.grid[0] + 1, cur_md.grid[1] + 1
+            i = jnp.arange(nnX * nnY, dtype=cur_el.dtype).reshape(nnX, nnY)
+            v = tuple(jnp.sin(i * (0.37 + 0.11 * c)) + 0.01
+                      for c in range(2))
+            minv = tuple(1. / d for d in diag)
+
+            def pw(_, v):
+                w = fek.k_apply_t(cur_md, Ke, v, fixT)
+                w = tuple(m * x for m, x in zip(minv, w))
+                nrm = jnp.maximum(fek._norm(w), 1e-30)
+                return tuple(x / nrm for x in w)
+
+            v = jax.lax.fori_loop(0, 10, pw, v)
+            Av = fek.k_apply_t(cur_md, Ke, v, fixT)
+            Av = tuple(m * x for m, x in zip(minv, Av))
+            lmax = fek._dot(v, Av) / jnp.maximum(fek._dot(v, v), 1e-30)
+        levels.append(MGLevel(cur_md, Ke, diag, fixT, lmax))
         NX, NY = _grid_of(cur_md)
         if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
             break
@@ -119,7 +145,33 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
 
 
 def _smooth(level: MGLevel, x, b, nu, omega=0.7):
-    """nu damped-Jacobi sweeps on K x = b (plane tuples)."""
+    """nu smoothing sweeps on K x = b (plane tuples): damped Jacobi, or a
+    degree-nu Chebyshev polynomial in D^-1 K targeting [lmax/4, lmax]
+    (stronger on rough tangent fields; SMOOTHER module switch)."""
+    if SMOOTHER == 'chebyshev' and level.lmax is not None:
+        minv = tuple(1. / d for d in level.diag)
+        lmax = 1.1 * level.lmax
+        lmin = lmax / 4.
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        Kx = fek.k_apply_t(level.md, level.Ke, x, level.fixed)
+        r = tuple(bi - ki for bi, ki in zip(b, Kx))
+        d = tuple(m * ri / theta for m, ri in zip(minv, r))
+        rho = 1. / sigma
+        for _ in range(max(nu, 1)):
+            x = tuple(xi + di for xi, di in zip(x, d))
+            Kd = fek.k_apply_t(level.md, level.Ke, d,
+                               level.fixed)
+            # fixed dofs: k_apply_t returns d there; keep residual zero
+            r = tuple(jnp.where(f, 0., ri - ki)
+                      for f, ri, ki in zip(level.fixed, r, Kd))
+            rho_new = 1. / (2. * sigma - rho)
+            d = tuple(rho_new * rho * di + 2. * rho_new / delta * m * ri
+                      for di, m, ri in zip(d, minv, r))
+            rho = rho_new
+        return x
+
     minv = tuple(omega / d for d in level.diag)
 
     def body(_, x):

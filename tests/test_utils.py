@@ -123,3 +123,23 @@ def test_pallas_interpret_decision():
     d2 = ((x[:, None, :] - sv[None, :, :]) ** 2).sum(-1)
     ref = np.exp(-2.5 * d2) @ dc + 0.3
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_chebyshev_smoother_option():
+    """The Chebyshev smoother option converges like (or better than) damped
+    Jacobi on the elastic operator."""
+    CV = _elastic_cv()
+    md = fek.rect_mesh(32, 32, LX=1., LY=1., uniax='y', eps_tot=0.001,
+                       dtype=jnp.float64)
+    el = jnp.broadcast_to(jnp.asarray(CV).reshape(36, 1, 1), (36, 32, 32))
+    bc = md.fixed_val
+    iters = {}
+    for sm in ('jacobi', 'chebyshev'):
+        mg.SMOOTHER = sm
+        fek.solve_linear.clear_cache()
+        du, res, it = fek.solve_linear(md, el, bc, 1e-10, 100)
+        assert float(res) < 1e-10
+        iters[sm] = int(it)
+    mg.SMOOTHER = 'jacobi'
+    fek.solve_linear.clear_cache()
+    assert iters['chebyshev'] <= iters['jacobi'] + 2
