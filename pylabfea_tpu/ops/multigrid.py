@@ -37,13 +37,60 @@ def coarsen_mesh(md: fek.MeshData):
 
 def coarsen_elstiff(md, elstiff):
     """Average the 2x2 fine element tangent blocks -> coarse element C.
-    Planes layout (36, NX, NY) in and out (rows accepted for back-compat)."""
+    Planes layout (36, NX, NY) in and out (rows accepted for back-compat).
+    (Kept for reference/tests; the hierarchy now coarsens the assembled
+    element stiffness with the exact Galerkin patch transfer below.)"""
     NX, NY = _grid_of(md)
     if elstiff.ndim == 3 and elstiff.shape[0] == 36:
         e = elstiff.reshape(36, NX // 2, 2, NY // 2, 2)
         return e.mean(axis=(2, 4))
     e = elstiff.reshape(NX // 2, 2, NY // 2, 2, 6, 6)
     return e.mean(axis=(1, 3)).reshape(-1, 6, 6)
+
+
+_CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _galerkin_patch_T(dtype='float64'):
+    """Static (4, 64, 64) patch-transfer matrices T_ab with
+    Kc[(i,j)] = sum_kl T_ab[(i,j),(k,l)] Kf[(k,l)] for the fine element at
+    offset (a, b) of its coarse cell: every fine node of that element
+    bilinearly interpolates from the 4 corners of the SAME coarse cell, so
+    summing the per-fine-element RAP contributions over the 2x2 patch and
+    assembling the resulting coarse 'element' stiffnesses reproduces the
+    exact Galerkin operator P^T K P of the V-cycle's bilinear prolongation."""
+    import numpy as _np
+    Ts = []
+    for a, b in _CORNERS:
+        M = _np.zeros((8, 8))
+        for corner, (dx, dy) in enumerate(_CORNERS):
+            x = (a + dx) / 2.
+            y = (b + dy) / 2.
+            for C, (DX, DY) in enumerate(_CORNERS):
+                w = ((1. - x) if DX == 0 else x) *                     ((1. - y) if DY == 0 else y)
+                for c in range(2):
+                    M[2 * corner + c, 2 * C + c] = w
+        T = _np.einsum('ki,lj->ijkl', M, M).reshape(64, 64)
+        Ts.append(T)
+    return _np.stack(Ts).astype(dtype)
+
+
+def galerkin_coarsen_Ke(Kf):
+    """Exact Galerkin coarsening of the element-stiffness planes:
+    (8, 8, NX, NY) -> (8, 8, NX/2, NY/2) via four static (64, 64) MXU
+    contractions (one per patch position).  Unlike rediscretizing from
+    averaged tangents, P^T K P keeps coarse corrections effective on rough
+    (plastified) tangent fields."""
+    NX, NY = Kf.shape[2], Kf.shape[3]
+    T = jnp.asarray(_galerkin_patch_T(), Kf.dtype)
+    K6 = Kf.reshape(64, NX // 2, 2, NY // 2, 2)
+    out = 0.
+    for idx, (a, b) in enumerate(_CORNERS):
+        blk = K6[:, :, a, :, b]
+        out = out + jnp.einsum('mn,nxy->mxy', T[idx], blk,
+                               preferred_element_type=Kf.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(8, 8, NX // 2, NY // 2)
 
 
 def _fw_kernel(dtype):
@@ -109,16 +156,16 @@ class MGLevel:
 def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
     """Build the level list (fine -> coarse) for the current tangent field."""
     levels = []
-    cur_md, cur_el = md, elstiff
+    cur_md = md
+    Ke = fek.element_stiffness_planes(md, elstiff)
     while True:
-        Ke = fek.element_stiffness_planes(cur_md, cur_el)
         fixT = fek._split(cur_md.fixed)
         diag = fek.k_diag_t(cur_md, Ke, fixT)
         lmax = None
         if SMOOTHER == 'chebyshev':
             # power iteration for lambda_max(D^-1 K); deterministic start
             nnX, nnY = cur_md.grid[0] + 1, cur_md.grid[1] + 1
-            i = jnp.arange(nnX * nnY, dtype=cur_el.dtype).reshape(nnX, nnY)
+            i = jnp.arange(nnX * nnY, dtype=Ke.dtype).reshape(nnX, nnY)
             v = tuple(jnp.sin(i * (0.37 + 0.11 * c)) + 0.01
                       for c in range(2))
             minv = tuple(1. / d for d in diag)
@@ -137,10 +184,10 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
         NX, NY = _grid_of(cur_md)
         if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
             break
-        nxt = coarsen_mesh(cur_md)
-        # inherit the fine level's BC mask structure (same generator)
-        cur_el = coarsen_elstiff(cur_md, cur_el)
-        cur_md = nxt
+        # exact Galerkin coarse operator; the coarse mesh only provides the
+        # BC masks / grid metadata (same generator as the fine level)
+        Ke = galerkin_coarsen_Ke(Ke)
+        cur_md = coarsen_mesh(cur_md)
     return levels
 
 
