@@ -143,3 +143,24 @@ def test_chebyshev_smoother_option():
     mg.SMOOTHER = 'jacobi'
     fek.solve_linear.clear_cache()
     assert iters['chebyshev'] <= iters['jacobi'] + 2
+
+
+def test_galerkin_coarsening_exact():
+    """galerkin_coarsen_Ke must satisfy <Kc v, w> == <K P v, P w> (exact
+    RAP of the V-cycle's bilinear prolongation) on a rough tangent field."""
+    rng = np.random.default_rng(0)
+    md = fek.rect_mesh(16, 16, dtype=jnp.float64)
+    E = jnp.asarray(rng.uniform(0.5, 2.0, (6, 6, 16, 16)) * 1e5)
+    E = 0.5 * (E + jnp.transpose(E, (1, 0, 2, 3)))
+    els = (E + 3e5 * jnp.eye(6)[:, :, None, None]).reshape(36, 16, 16)
+    Kf = fek.element_stiffness_planes(md, els)
+    Kc = mg.galerkin_coarsen_Ke(Kf)
+    mdc = mg.coarsen_mesh(md)
+    v = tuple(jnp.asarray(rng.normal(size=(9, 9))) for _ in range(2))
+    w = tuple(jnp.asarray(rng.normal(size=(9, 9))) for _ in range(2))
+    nofix_c = tuple(jnp.zeros((9, 9), bool) for _ in range(2))
+    nofix_f = tuple(jnp.zeros((17, 17), bool) for _ in range(2))
+    lhs = fek._dot(fek.k_apply_t(mdc, Kc, v, nofix_c), w)
+    rhs = fek._dot(fek.k_apply_t(md, Kf, mg.prolong(v, 17, 17), nofix_f),
+                   mg.prolong(w, 17, 17))
+    assert abs(float(lhs - rhs)) < 1e-10 * abs(float(rhs))
