@@ -20,6 +20,8 @@ from pylabfea_tpu.core.tensors import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+#: reference-compatible alias (pylabfea exposes ``version``)
+version = __version__
 __all__ = [
     "Strain", "Stress", "a_vec", "b_vec", "yf_tolerance",
     "eps_eq", "sig_polar_ang", "sig_princ2cyl",
@@ -53,3 +55,11 @@ def __getattr__(name):
         from pylabfea_tpu import ml_train
         return getattr(ml_train, name)
     raise AttributeError(f"module 'pylabfea_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | {
+        "Model", "Material", "Data", "find_transition_index",
+        "get_elastic_coefficients", "load_cases", "training_score",
+        "create_test_sig", "uniform_hypersphere", "int_sin_m", "primes",
+        "bridge", "fit_svc_jax", "train_svc_jax"})
