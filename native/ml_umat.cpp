@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -115,9 +116,24 @@ inline int build_features(const Params& p, const double sig[6],
     return p.ndof;
 }
 
+// Feature-vector work buffer: stack storage for the common parameter sets
+// (ndof <= 32), heap for texture-conditioned exports (e.g. GSH_37 gives
+// ndof = 52) — props[1] is caller-controlled and must never index past a
+// fixed stack array.
+struct FeatBuf {
+    double stack[32];
+    std::vector<double> heap;
+    double* get(int ndof) {
+        if (ndof <= 32) return stack;
+        heap.assign(static_cast<size_t>(ndof), 0.0);
+        return heap.data();
+    }
+};
+
 // SVC decision function on the scaled features.
 double fsvc(const Params& p, const double sig[6], const double epl[6]) {
-    double feat[32];
+    FeatBuf fb;
+    double* feat = fb.get(p.ndof);
     const int nd = build_features(p, sig, epl, feat);
     double acc = p.rho;
     for (int i = 0; i < p.nsv; ++i) {
@@ -137,13 +153,15 @@ double fsvc(const Params& p, const double sig[6], const double epl[6]) {
 // the plastic-strain feature components (reference UMAT calcGradFSVC).
 void grad_fsvc(const Params& p, const double sig[6], const double epl[6],
                double grad[6], double* khard_out) {
-    double feat[32];
+    FeatBuf fb, gb, hb;
+    double* feat = fb.get(p.ndof);
     const int nd = build_features(p, sig, epl, feat);
-    double g[32] = {0};
+    double* g = gb.get(p.ndof);
+    std::fill(g, g + p.ndof, 0.0);
+    double* h = hb.get(p.ndof);
     for (int i = 0; i < p.nsv; ++i) {
         const double* v = p.sv + i * p.ndof;
         double d2 = 0.0;
-        double h[32];
         for (int k = 0; k < nd; ++k) {
             h[k] = feat[k] - v[k];
             d2 += h[k] * h[k];

@@ -480,6 +480,11 @@ class Data(object):
                 self.mat_data['tx_key'] = 'unknown'
             ct += 1
 
+        if Nlc - Ncyl == 0:
+            raise ValueError(
+                'parse_data: no usable load cases — every non-cyl record was '
+                'skipped as short or degenerate; check epl_crit/epl_start '
+                'against the data resolution.')
         C = get_elastic_coefficients(elstrain, elstress, method='least_square')
         sy_av = np.mean(sig_eq_j2(np.array(sig_ideal)))
         self.mat_data['flow_stress'] = np.array(sig)

@@ -1459,7 +1459,10 @@ class Material(object):
             path += '/'
         file = path + file
 
-        dc = self.svm_yf.dual_coef_[0]
+        if self._svc is None:
+            raise AttributeError('export_MLparam: no trained SVC parameters '
+                                 '(train_SVC must run first).')
+        dc = np.asarray(self._svc.dual_coef)
         nsv = len(dc)
         nlin = int((nsv * (self.Ndof + 1) + 30) / 8) + 1
         Ndata = nlin * 8
@@ -1469,7 +1472,7 @@ class Material(object):
         props[2] = self.C11
         props[3] = self.C12
         props[4] = self.C44
-        props[5] = self.svm_yf.intercept_[0]
+        props[5] = self._svc.intercept
         props[6] = self.gam_yf
         props[7] = self.epc
         props[8] = self.scale_seq
@@ -1488,7 +1491,8 @@ class Material(object):
         props[18:18 + self.Nset] = self.scale_text
         props[29:29 + nsv] = dc
         nl = (self.Ndof + 1) * nsv + 29
-        props[29 + nsv:nl] = self.svm_yf.support_vectors_.flatten()
+        props[29 + nsv:nl] = np.asarray(
+            self._svc.support_vectors).flatten()
         np.savetxt(file + '-svm.csv', props.reshape((nlin, 8)),
                    delimiter=', ', newline='\n')
 

@@ -420,6 +420,14 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
     Returns (new_state, diagnostics dict).
     """
+    if md.grid is not None and md.nel >= 512 * 512 \
+            and jax.devices()[0].platform == 'tpu':
+        import warnings
+        warnings.warn(
+            f'load_step: fused single-program path is not validated above '
+            f'512x512 single-chip TPU meshes (this mesh: {md.nel} elements); '
+            f'use load_step_split for large single-chip meshes.',
+            stacklevel=2)
     CV = jnp.asarray(CV, dtype=state.u.dtype)
     if cg_tol is None:
         # f32 cannot reach 1e-8 relative residuals (a stalled CG can then

@@ -31,7 +31,7 @@ def load_state(path, dtype=None):
         if manifest['format'] > _FORMAT_VERSION:
             raise ValueError(f'checkpoint format {manifest["format"]} is '
                              'newer than this build supports')
-        arrays = {f: jnp.asarray(z[f], dtype=dtype if f != 'u' else dtype)
+        arrays = {f: jnp.asarray(z[f], dtype=dtype)
                   for f in manifest['fields']}
     return SolverState(**arrays), manifest['meta']
 

@@ -68,3 +68,25 @@ def test_train_svc_jax_installs_material():
     d_in = mat.ML_full_yf(np.array([50., 0., 0., 0., 0., 0.]))
     d_out = mat.ML_full_yf(np.array([160., 0., 0., 0., 0., 0.]))
     assert d_in < 0. < d_out
+
+
+def test_export_mlparam_from_jax_trained(tmp_path):
+    """UMAT parameter export must work for device-trained materials, which
+    have svm_yf=None and only SVCParams in _svc."""
+    ref, X, y = _training_set()
+    mat = FE.Material('jaxml-exp')
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=100., sdim=6)
+    mat.scale_seq = 100.
+    mat.Ndof = 6
+    mat.dev_only = False
+    ml_train.train_svc_jax(mat, X * 100. / mat.scale_seq, y,
+                           C=10., gamma=2.5, iters=1500)
+    assert mat.svm_yf is None
+    mat.export_MLparam('test', file='jaxexp', path=str(tmp_path))
+    from pylabfea_tpu.utils import native
+    nm = native.NativeMLMaterial(str(tmp_path / 'jaxexp-svm.csv'))
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        sig = rng.normal(0., 60., 6)
+        assert abs(nm.fsvc(sig) - float(mat.calc_yf(sig))) < 1e-8

@@ -65,9 +65,10 @@ def test_ml_training():
                       Fe=0.1, Ce=0.99)
     mat_ml2.calc_properties(verb=False, eps=0.01, sigeps=True)
 
-    X1 = np.random.normal(loc=sy, scale=10, size=50)
-    X2 = np.random.normal(loc=sy - 5, scale=10, size=100)
-    X3 = np.random.normal(loc=sy + 5, scale=10, size=50)
+    rng = np.random.default_rng(42)
+    X1 = rng.normal(loc=sy, scale=10, size=50)
+    X2 = rng.normal(loc=sy - 5, scale=10, size=100)
+    X3 = rng.normal(loc=sy + 5, scale=10, size=50)
     X = np.concatenate((X1, X2, X3))
     sunittest = FE.load_cases(number_3d=0, number_6d=len(X))
     sig_test = sunittest * X[:, None]

@@ -113,3 +113,34 @@ def test_native_work_hardening_features(tmp_path):
         g_cc, kh_cc = nm.grad_fsvc_wh(sig, epl)
         np.testing.assert_allclose(g_cc, g_py, atol=1e-10)
         assert abs(kh_cc - kh_py) < 1e-8
+
+
+def test_native_large_ndof_texture_props():
+    """Texture-conditioned parameter sets can have Ndof > 32 (e.g. GSH_37
+    gives Ndof = 52); the kernel must size its feature buffers from ndof
+    instead of overrunning a fixed stack array.  Checked against a NumPy
+    evaluation of the same decision function."""
+    rng = np.random.default_rng(7)
+    nsv, ndof = 16, 52
+    gamma, rho, scale_seq = 1.3, 0.05, 50.0
+    sv = rng.normal(0., 1., (nsv, ndof))
+    dc = rng.normal(0., 1., nsv)
+    props = np.zeros(29 + nsv + nsv * ndof)
+    props[0], props[1] = nsv, ndof
+    props[2], props[3], props[4] = 200e3, 80e3, 60e3   # C11, C12, C44
+    props[5], props[6] = rho, gamma
+    props[8], props[9] = scale_seq, 1.0
+    props[29:29 + nsv] = dc
+    props[29 + nsv:] = sv.ravel()
+    nm = native.NativeMLMaterial(props)
+    for _ in range(4):
+        sig = rng.normal(0., 60., 6)
+        feat = np.zeros(ndof)
+        feat[:6] = sig / scale_seq
+        d2 = ((feat[None, :] - sv) ** 2).sum(axis=1)
+        f_np = rho + (dc * np.exp(-gamma * d2)).sum()
+        assert abs(nm.fsvc(sig) - f_np) < 1e-12
+        g_np = (dc[:, None] * np.exp(-gamma * d2)[:, None]
+                * (-2. * gamma) * (feat[None, :] - sv)).sum(axis=0)
+        np.testing.assert_allclose(nm.grad_fsvc(sig), g_np[:6] / scale_seq,
+                                   atol=1e-14)
