@@ -45,23 +45,24 @@ def find_transition_index(stress):
     equivalent stress departs from its elastic-regime level."""
     stress = np.asarray(stress, dtype=float)
     nst = len(stress)
-    wl1 = max(5, int(nst / 10))
-    wl2 = max(2, int(nst / 50))
-    sig_d1 = savgol_filter(stress, window_length=wl1, polyorder=1, deriv=1)
-    sig_d2 = savgol_filter(sig_d1, window_length=wl2, polyorder=1, deriv=1)
-    i0 = int(nst / 10)
-    tol = np.mean(sig_d2[i0:i0 + wl2]) * 1.2
-    idx = -1
-    iend = int((nst - i0) / wl2) - 1
-    for i in range(1, iend):
-        mav = np.mean(sig_d2[i0 + i * wl2:i0 + (i + 1) * wl2])
-        if np.abs(mav) > tol:
-            idx = i0 + i * wl2
-            break
-    if idx < 0:
-        print('Warning: Transition not determined properly')
-        idx = i0
-    return idx
+    wl1 = max(5, nst // 10)
+    wl2 = max(2, nst // 50)
+    d2 = savgol_filter(
+        savgol_filter(stress, window_length=wl1, polyorder=1, deriv=1),
+        window_length=wl2, polyorder=1, deriv=1)
+    # block means of the second derivative over consecutive windows of
+    # width wl2, starting at 10% of the path; the first window sets the
+    # elastic-regime tolerance, the last window is never a candidate
+    # (window count and 1.2x threshold are the goldens' contract)
+    i0 = nst // 10
+    nwin = (nst - i0) // wl2
+    if nwin > 2:
+        means = d2[i0:i0 + nwin * wl2].reshape(nwin, wl2).mean(axis=1)
+        hits = np.flatnonzero(np.abs(means[1:nwin - 1]) > means[0] * 1.2)
+        if hits.size:
+            return i0 + (int(hits[0]) + 1) * wl2
+    print('Warning: Transition not determined properly')
+    return i0
 
 
 def get_elastic_coefficients(eps, sig, method='least_square',

@@ -24,6 +24,17 @@ import numpy as np
 from pylabfea_tpu.core.tensors import Stress, eps_eq, yf_tolerance
 
 
+def _halve_increment(d, full, target, applied):
+    """Halve the load increment ``d``, clipped (sign-symmetrically) to the
+    still-unapplied BC ``target - applied`` and to at least 5% of the full
+    increment ``full``.  All arguments are per-direction arrays."""
+    d = np.asarray(d, dtype=float)
+    s = np.where(np.asarray(full) >= 0., 1., -1.)
+    capped = np.minimum(s * (np.asarray(target) - np.asarray(applied)),
+                        s * d * 0.5)
+    return s * np.maximum(s * 0.05 * np.asarray(full), capped)
+
+
 class Model(object):
     """Finite element model: pre-processing (geometry, materials, mesh, BCs),
     solution (incremental nonlinear solver) and post-processing
@@ -353,133 +364,131 @@ class Model(object):
             if len(self.npos) != self.Nnode:
                 raise ValueError('Inconsistent definition of nodes')
         self.Nel = NX * NY
-        self.element = [None] * self.Nel
-        self.noleft = []
-        self.noright = []
-        self.nobot = []
-        self.notop = []
-        self.noinner = []
-
         if elmts is None:
-            # laminate structure: number of element columns per section
-            hh = self.LS / self.lenx
-            nes = [int(x) for x in np.round(hh * NX)]
-            if np.sum(nes) != NX:
-                im = np.argmax(self.LS)
-                nes[im] = nes[im] - np.sum(nes) + NX
-            jstart = 0
-            nrow = self.NnodeY
-            dy = self.leny / NY
-            for i in range(self.Nsec):
-                ncol = nes[i] * self.shapefact + 1
-                dx = self.LS[i] / nes[i]
-                nr = np.max([1, nrow - 1])
-                elstart = np.sum(nes[0:i], dtype=int) * nr
-                n1 = (int(elstart / NY) * nrow + int(np.mod(elstart, NY))) * \
-                     self.shapefact
-                for j in range(jstart, ncol):
-                    for k in range(nrow):
-                        inode = j * nrow + k + n1
-                        self.npos[inode * DIM] = (j + int(elstart / NY)) * dx
-                        if DIM == 2:
-                            self.npos[inode * DIM + 1] = k * dy
-                        nin = True
-                        if j == 0:
-                            self.noleft.append(inode)
-                            nin = False
-                        if k == 0:
-                            self.nobot.append(inode)
-                            nin = False
-                        if k == nrow - 1:
-                            self.notop.append(inode)
-                            nin = False
-                        if (i == self.Nsec - 1) and (j == ncol - 1):
-                            self.noright.append(inode)
-                            nin = False
-                        if nin:
-                            self.noinner.append(inode)
-                for j in range(nes[i] * nr):
-                    ih = elstart + j
-                    n1 = (int(ih / NY) * nrow + ih % NY) * self.shapefact
-                    n2 = n1 + self.shapefact
-                    n3 = n1 + nrow * self.shapefact
-                    n4 = n3 + self.shapefact
-                    if self.shapefact * DIM == 1:
-                        nds = [n1, n2]
-                    elif self.shapefact * DIM == 4:
-                        nh = n1 + nrow + 1
-                        nds = [n1, n1 + 1, n2, nh, nh + 1, n3, n3 + 1, n4]
-                    elif DIM == 2:
-                        nds = [n1, n2, n3, n4]
-                    else:
-                        nds = [n1, n1 + 1, n2]
-                    self.element[ih] = self.Element(self, nds, dx, dy,
-                                                    self.mat[i])
-                jstart = 1
+            self._mesh_structured(NX, NY)
         else:
-            if nodes is None:
-                dx = self.lenx / NX
-                dy = self.leny / NY
-                for j in range(self.NnodeX):
-                    for k in range(self.NnodeY):
-                        inode = j * self.NnodeY + k
-                        self.npos[inode * DIM] = j * dx
-                        if DIM == 2:
-                            self.npos[inode * DIM + 1] = k * dy
-                        nin = True
-                        if j == 0:
-                            self.noleft.append(inode)
-                            nin = False
-                        if k == 0:
-                            self.nobot.append(inode)
-                            nin = False
-                        if k == self.NnodeY - 1:
-                            self.notop.append(inode)
-                            nin = False
-                        if j == self.NnodeX - 1:
-                            self.noright.append(inode)
-                            nin = False
-                        if nin:
-                            self.noinner.append(inode)
-            else:
-                tol = 0.001 * self.lenx / NX
-                for inode, pos in enumerate(self.npos):
-                    nin = True
-                    if pos < tol:
-                        if DIM == 1 or inode % 2 == 0:
-                            self.noleft.append(inode)
-                        if DIM == 2 and inode % 2 == 1:
-                            self.nobot.append(inode)
-                        nin = False
-                    if pos > self.lenx - tol and (DIM == 1 or inode % 2 == 0):
-                        self.noright.append(inode)
-                        nin = False
-                    if pos > self.leny - tol and DIM == 2 and inode % 2 == 1:
-                        self.notop.append(inode)
-                        nin = False
-                    if nin:
-                        self.noinner.append(inode)
-            for j in range(NX):
-                for k in range(NY):
-                    i = el[j, k] - 1
-                    ih = j * NY + k
-                    n1 = (int(ih / NY) * self.NnodeY + ih % NY) * self.shapefact
-                    n2 = n1 + self.shapefact
-                    n3 = n1 + self.NnodeY * self.shapefact
-                    n4 = n3 + self.shapefact
-                    if self.shapefact * DIM == 1:
-                        nds = [n1, n2]
-                    elif self.shapefact * DIM == 4:
-                        nh = n1 + self.NnodeY + 1
-                        nds = [n1, n1 + 1, n2, nh, nh + 1, n3, n3 + 1, n4]
-                    elif DIM == 2:
-                        nds = [n1, n2, n3, n4]
-                    else:
-                        nds = [n1, n1 + 1, n2]
-                    self.element[ih] = self.Element(self, nds, dx, dy,
-                                                    self.mat[i])
+            self._mesh_imported(el, nodes is not None, NX, NY)
         # cached assembly indices for the batched scatter-add
         self._asm_dofs = np.array([el.node_num() for el in self.element])
+
+    def _grid_boundary_lists(self, ncols, nrow):
+        """Boundary / interior node lists of a tensor grid with ``ncols``
+        node columns and ``nrow`` node rows, numbered column-major
+        (node = col * nrow + row).  Nodes on two boundaries (corners, and
+        every node of a 1-D model, where nrow == 1) appear in every list
+        they touch."""
+        col = np.repeat(np.arange(ncols), nrow)
+        row = np.tile(np.arange(nrow), ncols)
+        self.noleft = np.flatnonzero(col == 0).tolist()
+        self.noright = np.flatnonzero(col == ncols - 1).tolist()
+        self.nobot = np.flatnonzero(row == 0).tolist()
+        self.notop = np.flatnonzero(row == nrow - 1).tolist()
+        inner = ((col > 0) & (col < ncols - 1)
+                 & (row > 0) & (row < nrow - 1))
+        self.noinner = np.flatnonzero(inner).tolist()
+
+    def _grid_connectivity(self, NX, NY, nrow):
+        """Element -> node connectivity of the structured grid, batched.
+        Elements are numbered column-major (elem = elcol * NY + elrow); the
+        node labels follow the reference element-node convention
+        (counter-clockwise for linear quads)."""
+        SF = self.shapefact
+        ih = np.arange(NX * NY)
+        n1 = ((ih // NY) * nrow + ih % NY) * SF
+        if self.dim == 1:
+            if SF == 1:
+                return np.stack([n1, n1 + 1], axis=1)
+            return np.stack([n1, n1 + 1, n1 + 2], axis=1)
+        return np.stack([n1, n1 + 1, n1 + nrow, n1 + nrow + 1], axis=1)
+
+    def _mesh_structured(self, NX, NY):
+        """Structured laminate mesh, built as arrays.
+
+        Each section contributes a proportional number of element columns
+        (the widest section absorbs the rounding residue).  Node x
+        positions follow the reference convention of scaling the global
+        column index by the *owning section's* element width
+        (model.py:758-952) — section widths are not accumulated, so the
+        positions are only geometrically exact when all sections share the
+        same element width.
+        """
+        DIM, SF = self.dim, self.shapefact
+        if DIM == 2 and SF != 1:
+            raise NotImplementedError(
+                'Quadratic shape functions are only supported for 1-D '
+                'structured meshes (use SF=1 in 2-D).')
+        nrow = self.NnodeY
+        dy = self.leny / NY
+
+        LS = np.asarray(self.LS, dtype=float)
+        nes = np.rint(LS * NX / self.lenx).astype(int)
+        nes[np.argmax(LS)] += NX - int(nes.sum())
+        csum = np.concatenate(([0], np.cumsum(nes)))
+        dxs = LS / nes
+
+        # owning section of each node column: the shared column on a
+        # section boundary belongs to the section left of it
+        gcol = np.arange(self.NnodeX)
+        owner = np.searchsorted(SF * csum[1:], gcol, side='left')
+        owner = np.minimum(owner, self.Nsec - 1)
+        xcol = (gcol - (SF - 1) * csum[owner]) * dxs[owner]
+
+        self.npos = np.zeros(self.Ndof)
+        if DIM == 1:
+            self.npos[:] = xcol
+        else:
+            self.npos[0::2] = np.repeat(xcol, nrow)
+            self.npos[1::2] = np.tile(np.arange(nrow) * dy, self.NnodeX)
+
+        self._grid_boundary_lists(self.NnodeX, nrow)
+
+        conn = self._grid_connectivity(NX, NY, nrow)
+        sec = np.searchsorted(csum[1:], np.arange(self.Nel) // NY,
+                              side='right')
+        self.element = [self.Element(self, nds, dxs[s], dy, self.mat[s])
+                        for nds, s in zip(conn.tolist(), sec.tolist())]
+
+    def _mesh_imported(self, el, have_nodes, NX, NY):
+        """Mesh from a user section map ``el`` ((NX, NY) of 1-based section
+        numbers) and optional raveled node positions."""
+        DIM = self.dim
+        nrow = self.NnodeY
+        dx = self.lenx / NX
+        dy = self.leny / NY
+        if not have_nodes:
+            xcol = np.arange(self.NnodeX) * dx
+            if DIM == 1:
+                self.npos[:] = xcol
+            else:
+                self.npos[0::2] = np.repeat(xcol, nrow)
+                self.npos[1::2] = np.tile(np.arange(nrow) * dy, self.NnodeX)
+            self._grid_boundary_lists(self.NnodeX, nrow)
+        else:
+            # classify the raveled position entries by coordinate value;
+            # in 2-D even entries are x coordinates, odd entries are y
+            # (reference contract, model.py:925-950: the lists then hold
+            # per-coordinate entry indices, not node numbers)
+            tol = 0.001 * self.lenx / NX
+            pos = np.asarray(self.npos)
+            idx = np.arange(len(pos))
+            if DIM == 2:
+                is_x = idx % 2 == 0
+                is_y = ~is_x
+            else:
+                is_x = np.ones(len(pos), dtype=bool)
+                is_y = np.zeros(len(pos), dtype=bool)
+            lo = pos < tol
+            right = (pos > self.lenx - tol) & is_x
+            top = (pos > self.leny - tol) & is_y
+            self.noleft = idx[lo & is_x].tolist()
+            self.nobot = idx[lo & is_y].tolist()
+            self.noright = idx[right].tolist()
+            self.notop = idx[top].tolist()
+            self.noinner = idx[~(lo | right | top)].tolist()
+        conn = self._grid_connectivity(NX, NY, nrow)
+        sec = np.ravel(el, order='C') - 1
+        self.element = [self.Element(self, nds, dx, dy, self.mat[s])
+                        for nds, s in zip(conn.tolist(), sec.tolist())]
 
     # ----------------------
     # assembly & solution
@@ -732,28 +741,14 @@ class Model(object):
                     print('***Load step #', il, 'scaling factor', scale_bc)
                 while (change or not conv) and nit <= 15:
                     if il < 6 and nit > 1:
-                        # halve load increments to force convergence
-                        hs = 0.5
-                        for k in range(self.dim):
-                            if max_dbcr[k] >= 0:
-                                hh = np.minimum(self.bcr[k] - bcr0[k], dbcr[k] * hs)
-                                dbcr[k] = np.maximum(0.05 * max_dbcr[k], hh)
-                            else:
-                                hh = np.maximum(self.bcr[k] - bcr0[k], dbcr[k] * hs)
-                                dbcr[k] = np.minimum(0.05 * max_dbcr[k], hh)
-                            if max_dbct[k] >= 0:
-                                hh = np.minimum(self.bct[k] - bct0[k], dbct[k] * hs)
-                                dbct[k] = np.maximum(0.05 * max_dbct[k], hh)
-                            else:
-                                hh = np.maximum(self.bct[k] - bct0[k], dbct[k] * hs)
-                                dbct[k] = np.minimum(0.05 * max_dbct[k], hh)
-                            if self.noset is not None:
-                                if max_dbcn[k] >= 0:
-                                    hh = np.minimum(self.bcn[k] - bcn0[k], dbcn[k] * hs)
-                                    dbcn[k] = np.maximum(0.05 * max_dbcn[k], hh)
-                                else:
-                                    hh = np.maximum(self.bcn[k] - bcn0[k], dbcn[k] * hs)
-                                    dbcn[k] = np.minimum(0.05 * max_dbcn[k], hh)
+                        # halve the load increments to force convergence,
+                        # clipped to the remaining BC and to >= 5% of the
+                        # full increment
+                        dbcr = _halve_increment(dbcr, max_dbcr, self.bcr, bcr0)
+                        dbct = _halve_increment(dbct, max_dbct, self.bct, bct0)
+                        if self.noset is not None:
+                            dbcn = _halve_increment(dbcn, max_dbcn,
+                                                    self.bcn, bcn0)
                     K = self.setupK()
                     self.du, df, ind = self._calc_BC(K, bcl0, bcb0, dbcr,
                                                      dbct, dbcn)
@@ -870,32 +865,30 @@ class Model(object):
         return hux / n, huy / n, hfx, hfy
 
     def calc_global(self):
-        """Homogenize: global strain/stress from boundary nodes (ebc*/sbc*)
-        and volume-averaged element solutions (eps/sig/epl)."""
-        uxl, uyl, fxl, fyl = self.bcval(self.noleft)
-        uxr, uyr, fxr, fyr = self.bcval(self.noright)
-        self.glob['ebc1'] = (uxr - uxl) / self.lenx
-        self.glob['sbc1'] = 0.5 * (fxr - fxl) / (self.leny * self.thick)
-        self.glob['ebc21'] = (uyr - uyl) / self.lenx
-        self.glob['sbc21'] = 0.5 * (fyr - fyl) / (self.leny * self.thick)
+        """Homogenize: global strain/stress from opposing boundary-node
+        pairs (``ebc*``/``sbc*`` keys) and volume-averaged element solutions
+        (``sig``/``eps``/``epl``)."""
+        # (key suffix for normal / shear components, low side, high side,
+        #  gauge length, traction area) per opposing boundary pair
+        pairs = [(('1', '21'), self.noleft, self.noright, 0,
+                  self.lenx, self.leny * self.thick)]
         if self.dim == 2:
-            uxb, uyb, fxb, fyb = self.bcval(self.nobot)
-            uxt, uyt, fxt, fyt = self.bcval(self.notop)
-            self.glob['ebc2'] = (uyt - uyb) / self.leny
-            self.glob['sbc2'] = 0.5 * (fyt - fyb) / (self.lenx * self.thick)
-            self.glob['ebc12'] = (uxt - uxb) / self.leny
-            self.glob['sbc12'] = 0.5 * (fxt - fxb) / (self.lenx * self.thick)
-        sig = np.zeros(6)
-        eps = np.zeros(6)
-        epl = np.zeros(6)
-        for el in self.element:
-            sig += el.sig * el.Vel
-            eps += el.eps * el.Vel
-            epl += el.epl * el.Vel
+            pairs.append((('2', '12'), self.nobot, self.notop, 1,
+                          self.leny, self.lenx * self.thick))
+        for (kn, ks), lo, hi, normal, length, area in pairs:
+            u_lo = np.array(self.bcval(lo))
+            u_hi = np.array(self.bcval(hi))
+            du, df = u_hi[:2] - u_lo[:2], u_hi[2:] - u_lo[2:]
+            shear = 1 - normal
+            self.glob['ebc' + kn] = du[normal] / length
+            self.glob['sbc' + kn] = 0.5 * df[normal] / area
+            self.glob['ebc' + ks] = du[shear] / length
+            self.glob['sbc' + ks] = 0.5 * df[shear] / area
+        vol = np.array([e.Vel for e in self.element])
         Vm = self.lenx * self.leny * self.thick
-        self.glob['sig'] = sig / Vm
-        self.glob['eps'] = eps / Vm
-        self.glob['epl'] = epl / Vm
+        for key in ('sig', 'eps', 'epl'):
+            rows = np.array([getattr(e, key) for e in self.element])
+            self.glob[key] = vol @ rows / Vm
 
     def plot(self, fsel, mag=10, colormap='viridis', cdepth=20, showmesh=True,
              shownodes=True, vmin=None, vmax=None, annot=True, file=None,

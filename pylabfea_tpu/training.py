@@ -27,29 +27,23 @@ def int_sin_m(x, m):
 
 
 def primes():
-    """Infinite generator of prime numbers (incremental sieve)."""
-    yield from (2, 3, 5, 7)
-    composites = {}
-    ps = primes()
-    next(ps)
-    p = next(ps)
-    assert p == 3
-    psq = p * p
-    for i in count(9, 2):
-        if i in composites:
-            step = composites.pop(i)
-        elif i < psq:
-            yield i
-            continue
-        else:
-            assert i == psq
-            step = 2 * p
-            p = next(ps)
-            psq = p * p
-        i += step
-        while i in composites:
-            i += step
-        composites[i] = step
+    """Infinite generator of prime numbers.
+
+    Sieve of Eratosthenes over a doubling numpy range; only the primes not
+    yet emitted are yielded after each extension.  The hypersphere sequences
+    consume one prime per feature dimension, so the range stays tiny."""
+    limit, emitted = 32, 0
+    while True:
+        sieve = np.ones(limit, dtype=bool)
+        sieve[:2] = False
+        for p in range(2, int(limit ** 0.5) + 1):
+            if sieve[p]:
+                sieve[p * p::p] = False
+        found = np.flatnonzero(sieve)
+        for p in found[emitted:]:
+            yield int(p)
+        emitted = len(found)
+        limit *= 2
 
 
 def uniform_hypersphere(d, n, method='brentq'):
