@@ -117,13 +117,15 @@ def main():
     log(f'reference-style host: {n_host} points in {dt_host * 1e3:.1f} ms '
         f'-> {thr_host:,.1f} maps/s')
 
-    # secondary metric (stderr): full Newton load step — multigrid CG +
-    # batched return map — on a 256x256 Hill-ML mesh
+    # north-star FE metric: full Newton load step — multigrid CG + batched
+    # return map — on the 1024x1024 (1M-element) Hill-ML mesh of
+    # BASELINE.json, recorded as extra fields of the JSON line
+    fe_fields = {}
     try:
         import os
         if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
             from pylabfea_tpu.ops import fe_kernels as fek
-            NB = 256
+            NB = int(os.environ.get('PYLABFEA_BENCH_FE_N', '1024'))
             md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
                                eps_tot=0.002, dtype=dtype)
             st = fek.init_state(md, CV, dtype=dtype)
@@ -137,6 +139,9 @@ def main():
                 f'{int(d["cg_iters"])} iters, res {float(d["cg_res"]):.1e}): '
                 f'{dt_fe * 1e3:.0f} ms -> {NB * NB / dt_fe:,.0f} '
                 f'element-updates/s')
+            fe_fields = {"mesh": f"{NB}x{NB}", "step_s": round(dt_fe, 4),
+                         "fe_element_updates_per_s": float(NB * NB / dt_fe),
+                         "cg_iters": int(d["cg_iters"])}
     except Exception as e:  # never break the headline metric
         log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
 
@@ -146,6 +151,7 @@ def main():
         "value": float(thr),
         "unit": "gauss_points/s",
         "vs_baseline": float(vs),
+        **fe_fields,
     }))
 
 

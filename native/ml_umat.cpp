@@ -371,4 +371,73 @@ double mlumat_step_abaqus(const double* props, double* stress, double* statev,
     return fy;
 }
 
+// ---------------------------------------------------------------------
+// Fortran-ABI Abaqus user-material entry point.
+//
+// Matches the standard Abaqus UMAT argument list (all arguments passed by
+// reference, CHARACTER*80 CMNAME with the gfortran hidden length argument
+// at the end), so an Abaqus build can link this library directly in place
+// of a Fortran UMAT:
+//
+//   abaqus job=femBlock user=libmlumat.so   (or link the .o)
+//
+// Delegates to mlumat_step_abaqus (Abaqus Voigt component convention,
+// 11,22,33,12,13,23) and maintains the Abaqus state:
+//   statev(1:6)  plastic strain tensor (Abaqus order)
+//   statev(7)    PEEQ
+//   statev(8)    substep count of the last increment
+// SSE/SPD are updated with the trapezoidal elastic / plastic work of the
+// increment.  DDSDDE is written column-major (Fortran layout); the
+// consistent tangent of the flow rule is symmetric, so the transpose is
+// exact.  Only NTENS == 6 (three-dimensional / generalized plane strain)
+// is supported — same restriction as the reference Fortran UMAT.
+extern "C" void umat_(
+    double* stress, double* statev, double* ddsdde, double* sse,
+    double* spd, double* scd, double* rpl, double* ddsddt, double* drplde,
+    double* drpldt, double* stran, double* dstran, double* time,
+    double* dtime, double* temp, double* dtemp, double* predef,
+    double* dpred, char* cmname, const int* ndi, const int* nshr,
+    const int* ntens, const int* nstatv, const double* props,
+    const int* nprops, const double* coords, const double* drot,
+    double* pnewdt, const double* celent, const double* dfgrd0,
+    const double* dfgrd1, const int* noel, const int* npt,
+    const int* layer, const int* kspt, const int* kstep, const int* kinc,
+    size_t cmname_len) {
+    (void)scd; (void)rpl; (void)ddsddt; (void)drplde; (void)drpldt;
+    (void)stran; (void)time; (void)dtime; (void)temp; (void)dtemp;
+    (void)predef; (void)dpred; (void)cmname; (void)ndi; (void)nshr;
+    (void)nprops; (void)coords; (void)drot; (void)pnewdt; (void)celent;
+    (void)dfgrd0; (void)dfgrd1; (void)noel; (void)npt; (void)layer;
+    (void)kspt; (void)kstep; (void)kinc; (void)cmname_len;
+    if (*ntens != 6) return;  // 3-D stress states only (as the reference)
+
+    double sv[14] = {0.};
+    const int nsv_copy = *nstatv < 14 ? *nstatv : 14;
+    std::memcpy(sv, statev, nsv_copy * sizeof(double));
+    double s0[6], epl0[6];
+    std::memcpy(s0, stress, sizeof(s0));
+    std::memcpy(epl0, sv, sizeof(epl0));
+
+    double dd[36];
+    mlumat_step_abaqus(props, stress, sv, dstran, dd, 0);
+
+    std::memcpy(statev, sv, nsv_copy * sizeof(double));
+    // Fortran column-major tangent (symmetric -> transpose is exact, but
+    // written explicitly for generality)
+    for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j)
+            ddsdde[j * 6 + i] = dd[i * 6 + j];
+    // trapezoidal work increments (engineering shear strains, so the
+    // single product counts each shear component once)
+    double w_pl = 0., w_tot = 0.;
+    for (int k = 0; k < 6; ++k) {
+        const double smid = 0.5 * (s0[k] + stress[k]);
+        const double depl = sv[k] - epl0[k];
+        w_pl += smid * depl;
+        w_tot += smid * dstran[k];
+    }
+    if (spd) *spd += w_pl;
+    if (sse) *sse += w_tot - w_pl;
+}
+
 }  // extern "C"

@@ -23,45 +23,389 @@ def _check_supported(model):
         raise ValueError('device solver bridge supports 2-D models only')
     if model.Nnode is None:
         raise ValueError('mesh the model before converting')
-    if len(set(id(el.Mat) for el in model.element)) != 1:
-        raise ValueError('device solver bridge supports one material')
+    if model.shapefact != 1:
+        raise ValueError('device solver bridge supports linear elements')
     lx = {round(el.Lelx, 12) for el in model.element}
     ly = {round(el.Lely, 12) for el in model.element}
     if len(lx) != 1 or len(ly) != 1:
         raise ValueError('device solver bridge requires a uniform mesh')
-    if model.ubctop[1] and abs(model.bct[1]) > 0 and not model.ubcright[0]:
-        return 'y', model.bct[1] / model.leny
-    if model.ubcright[0] and abs(model.bcr[0]) > 0 and not model.ubctop[1]:
-        return 'x', model.bcr[0] / model.lenx
-    raise ValueError('device solver bridge supports uniaxial displacement '
-                     'loading on top (y) or right (x)')
+    NX = model.NnodeX - 1
+    NY = model.NnodeY - 1
+    if model.Nel != NX * NY:
+        raise ValueError('device solver bridge requires a full structured '
+                         'grid')
+
+
+def _bc_spec(model):
+    """Translate the host Model's edge/node BCs into the device
+    ``make_edge_bcs`` spec: displacement-controlled components become
+    fixed-value planes; force-controlled components on the incremental
+    edges (right/top, model.py:1137-1179) become total-edge-force patterns
+    with the half-corner-weight distribution; ``bcnode`` node sets become
+    per-node pins/loads."""
+    nnY = model.NnodeY
+    spec = {}
+    spec['left'] = {k: ('disp', model.bcl[k]) for k in range(2)
+                    if model.ubcleft[k]}
+    spec['bot'] = {k: ('disp', model.bcb[k]) for k in range(2)
+                   if model.ubcbot[k]}
+    spec['right'] = {k: ('disp', model.bcr[k]) if model.ubcright[k]
+                     else ('force', model.bcr[k]) for k in range(2)}
+    spec['top'] = {k: ('disp', model.bct[k]) if model.ubctop[k]
+                   else ('force', model.bct[k]) for k in range(2)}
+    nodes = []
+    if model.noset is not None:
+        for j in model.noset:
+            n = int(np.ravel(j)[0])
+            ix, iy = divmod(n, nnY)
+            for k in range(2):
+                if model.ubcn[k]:
+                    nodes.append((ix, iy, k, 'disp', model.bcn[k]))
+                elif abs(model.bcn[k]) > 1.e-12:
+                    nodes.append((ix, iy, k, 'force', model.bcn[k]))
+    spec['nodes'] = tuple(nodes)
+    return spec
 
 
 def to_device(model, dtype=jnp.float32):
-    """Convert a meshed host Model to (MeshData, DeviceMaterial, CV)."""
-    uniax, eps_tot = _check_supported(model)
+    """Convert a meshed host Model to ``(MeshData, mat(s), CV(s))``.
+
+    Single-material models return one ``DeviceMaterial`` and one stiffness;
+    multi-material models (inclusion/section meshes, model.py:758-952 /
+    train_hill.py:110-167) return tuples aligned with the mesh's material
+    groups, consumed by the grouped return map.  General displacement and
+    force BCs (model.py:1070-1206 semantics) are translated into the
+    device BC planes."""
+    _check_supported(model)
     NX = model.NnodeX - 1
     NY = model.NnodeY - 1
+    # material groups in element raster order (elem = elcol * NY + elrow)
+    mats = []
+    ids = np.empty(model.Nel, dtype=np.int64)
+    by_id = {}
+    for i, el in enumerate(model.element):
+        k = by_id.setdefault(id(el.Mat), len(by_id))
+        if k == len(mats):
+            mats.append(el.Mat)
+        ids[i] = k
+    multi = len(mats) > 1
     el0 = model.element[0]
     ps = {}
     if model.planestress:
+        if multi:
+            raise NotImplementedError(
+                'device bridge: multi-material plane stress requires '
+                'per-element eps_33 condensation (host profile only)')
         # plane stress: the host element folds the eps_33 condensation into
         # its B matrices and uses the reduced CV; replicate both
         ps = dict(planestress=True, ps_CV=np.asarray(el0.CV),
                   ps_E=el0.Mat.E, ps_nu=el0.Mat.nu)
     md = fek.rect_mesh(NX, NY, LX=model.lenx, LY=model.leny,
-                       thick=model.thick, uniax=uniax, eps_tot=eps_tot,
-                       dtype=dtype, **ps)
-    mat = el0.Mat
-    dm = con.device_material_from(mat, dtype=dtype)
-    CV = np.asarray(model.element[0].CV, dtype=float)
+                       thick=model.thick, dtype=dtype,
+                       bc=_bc_spec(model),
+                       mat_map=ids.reshape(NX, NY) if multi else None,
+                       **ps)
+    if multi:
+        # per-element CV by group (uniform within a material section)
+        CVs = []
+        first = {}
+        for i, el in enumerate(model.element):
+            k = ids[i]
+            if k not in first:
+                first[k] = np.asarray(el.CV, dtype=float)
+        dms = tuple(con.device_material_from(m, dtype=dtype) for m in mats)
+        CVs = tuple(first[k] for k in range(len(mats)))
+        return md, dms, CVs
+    dm = con.device_material_from(el0.Mat, dtype=dtype)
+    CV = np.asarray(el0.CV, dtype=float)
     return md, dm, CV
 
 
+def _bc_planes(model, dbcr, dbct, dbcn, dtype):
+    """Device BC planes for ONE load increment: prescribed-displacement
+    values (static left/bottom absolutes, incremental right/top/node-set
+    values) and the incremental force pattern — the device twin of the
+    host's per-increment ``_calc_BC`` value assembly."""
+    nnY = model.NnodeY
+    NX, NY = model.NnodeX - 1, nnY - 1
+    left = {k: ('disp', model.bcl[k]) for k in range(2) if model.ubcleft[k]}
+    bot = {k: ('disp', model.bcb[k]) for k in range(2) if model.ubcbot[k]}
+    right = {k: ('disp', dbcr[k]) if model.ubcright[k]
+             else ('force', dbcr[k]) for k in range(2)}
+    top = {k: ('disp', dbct[k]) if model.ubctop[k]
+           else ('force', dbct[k]) for k in range(2)}
+    nodes = []
+    if model.noset is not None:
+        for j in model.noset:
+            n = int(np.ravel(j)[0])
+            ix, iy = divmod(n, nnY)
+            for k in range(2):
+                if model.ubcn[k]:
+                    nodes.append((ix, iy, k, 'disp', dbcn[k]))
+                elif abs(dbcn[k]) > 1.e-12:
+                    nodes.append((ix, iy, k, 'force', dbcn[k]))
+    _, fval, force = fek.make_edge_bcs(NX, NY, left=left, right=right,
+                                       bot=bot, top=top, nodes=tuple(nodes))
+    return jnp.asarray(fval, dtype=dtype), jnp.asarray(force, dtype=dtype)
+
+
+def _material_groups(model):
+    """(materials, per-element group ids) in element raster order."""
+    mats = []
+    ids = np.empty(model.Nel, dtype=np.int64)
+    by_id = {}
+    for i, el in enumerate(model.element):
+        k = by_id.setdefault(id(el.Mat), len(by_id))
+        if k == len(mats):
+            mats.append(el.Mat)
+        ids[i] = k
+    return mats, ids
+
+
+def _calc_scf_np(groups, sig, epl, dsig, sld, verb):
+    """Vectorized twin of the host load-step scaling statistics
+    (Model._calc_scf / reference model.py:1036-1067), on numpy element
+    arrays pulled from the device: per-element distance-to-yield scaling
+    factors with the min-vs-(mean-std) selection and the double append for
+    elements starting well inside the elastic regime."""
+    from pylabfea_tpu.core.tensors import eps_eq
+    Nel = len(sig)
+    sref = np.zeros(Nel)
+    yf0 = np.zeros(Nel)
+    for mat, idx in groups:
+        sref[idx] = np.atleast_1d(mat.calc_seq(dsig[idx]))
+        if mat.sy is not None:
+            yf0[idx] = np.atleast_1d(mat._yf_rows(sig[idx], epl[idx]))
+            need = (sref[idx] > 0.1) & (yf0[idx] < -0.15)
+            if mat.ML_yf and need.any():
+                k = idx[need]
+                yf0[k] = mat._ml_full_yf_rows(sig[k], epl[k], ld=sld,
+                                              verb=verb)
+    sc = []
+    for mat, idx in groups:
+        if mat.sy is None:
+            continue
+        m = sref[idx] > 0.1
+        ii = idx[m]
+        deep = yf0[ii] < -0.15
+        hh = np.minimum(1., -yf0[ii][deep] / sref[ii][deep])
+        sc.extend(hh)
+        sc.extend(hh)  # host double append for deep-elastic elements
+        rest = ii[~deep]
+        sflow = np.sqrt(1.5) * mat._sflow_rows(epl[rest]) / sref[rest] \
+            if len(rest) else np.zeros(0)
+        sc.extend(np.minimum(1., sflow))
+    if len(sc) == 0:
+        sc = [1.]
+    sc = np.asarray(sc)
+    hh = np.std(sc)
+    scf = np.amin(sc) if hh < 0.1 else np.maximum(1.e-3, np.mean(sc) - hh)
+    return float(np.maximum(scf, 1.e-3))
+
+
+def solve_on_device_adaptive(model, min_step=None, verb=False,
+                             dtype=jnp.float64, fast=False, nsub=4):
+    """Device-kernel twin of ``Model.solve``: mirrors the host's ADAPTIVE
+    load stepping exactly — touch-yield scaling of the first increments
+    (``_calc_scf`` statistics), up to 15 inner equilibrium iterations per
+    increment with load halving (il < 6) and tangent averaging at the
+    15th iteration, convergence on the normalized yield excess
+    (reference model.py:1270-1445 control flow) — while every linear solve
+    runs as the jitted MG-CG kernel and every constitutive update as the
+    grouped batched return map.  With ``fast=False`` (the reference-faithful
+    substepped return map) the results match the host solver to the
+    constitutive parity level (~1e-6) on sdim=6 / coaxial paths.
+
+    Writes displacements, element states and the per-increment global
+    history back into the host model like ``Model.solve`` does."""
+    from pylabfea_tpu.femodel import _halve_increment
+    from pylabfea_tpu.core.tensors import yf_tolerance
+    if model.u is not None:
+        raise NotImplementedError('solve_on_device_adaptive: resuming a '
+                                  'partially solved model is host-only')
+    md, dm, CV = to_device(model, dtype=dtype)
+    if md.groups is None:
+        dm, CV = (dm,), (CV,)
+        groups_idx = [np.arange(model.Nel)]
+    else:
+        perm = np.asarray(md.perm)
+        groups_idx = [perm[s:s + z] for s, z in md.groups]
+    mats, _ = _material_groups(model)
+    groups = list(zip(mats, groups_idx))
+    nonlin = any(m.sy is not None for m in mats)
+    state = fek.init_state(md, CV if md.groups is not None else CV[0],
+                           dtype=dtype)
+    NX, NY = md.grid[:2]
+
+    def elstiff_rows(planes):
+        return np.asarray(planes, dtype=float).reshape(36, -1).T.reshape(
+            -1, 6, 6)
+
+    def solve_inc(elstiff, dbcr, dbct, dbcn):
+        bc_val, force = _bc_planes(model, dbcr, dbct, dbcn, dtype)
+        du, res, it = fek.solve_linear(md, elstiff, bc_val, force)
+        return du
+
+    # loading direction for ML yield-locus searches (host solve convention)
+    sld = np.zeros(6)
+    if np.abs(model.bcr[0]) > 1.e-6:
+        sld[0] = np.sign(model.bcr[0])
+    if np.abs(model.bct[1]) > 1.e-6:
+        sld[1] = np.sign(model.bct[1])
+    if np.abs(model.bcr[1]) > 1.e-6:
+        sld[5] = np.sign(model.bcr[1])
+    if np.abs(model.bct[0]) > 1.e-6:
+        sld[5] = np.sign(model.bct[0])
+    if np.linalg.norm(sld) < 1.e-3:
+        sld[0] = 1.
+
+    bcr0 = np.zeros(2)
+    bct0 = np.zeros(2)
+    bcn0 = np.zeros(2) if model.noset is not None else None
+    sgl = [np.zeros(6)]
+    egl = [np.zeros(6)]
+    epgl = [np.zeros(6)]
+    u_tot = state.u
+    il = 0
+    niter = []
+    co_nconv = []
+    nconv = 0
+    bc_inc = True
+    while bc_inc:
+        max_dbct = model.bct - bct0
+        max_dbcr = model.bcr - bcr0
+        if min_step is not None:
+            scd = np.maximum(1, min_step - il)
+            max_dbct = max_dbct / scd
+            max_dbcr = max_dbcr / scd
+        dbcr = np.array(max_dbcr)
+        dbct = np.array(max_dbct)
+        if model.noset is not None:
+            max_dbcn = model.bcn - bcn0
+            if min_step is not None:
+                max_dbcn = max_dbcn / np.maximum(1, min_step - il)
+            dbcn = np.array(max_dbcn)
+        else:
+            max_dbcn = dbcn = None
+
+        elstiff = state.elstiff
+        du = solve_inc(elstiff, dbcr, dbct, dbcn)
+        nit = 0
+        if nonlin:
+            if il < 10:
+                deps = np.asarray(fek.element_deps(md, du), dtype=float)
+                dsig = np.einsum('nij,nj->ni', elstiff_rows(elstiff), deps)
+                scale_bc = _calc_scf_np(groups, np.asarray(state.sig, float),
+                                        np.asarray(state.epl, float),
+                                        dsig, sld, verb)
+            else:
+                scale_bc = 1.
+            dbcr = max_dbcr * scale_bc
+            dbct = max_dbct * scale_bc
+            change = True
+            conv = False
+            while (change or not conv) and nit <= 15:
+                if il < 6 and nit > 1:
+                    dbcr = _halve_increment(dbcr, max_dbcr, model.bcr, bcr0)
+                    dbct = _halve_increment(dbct, max_dbct, model.bct, bct0)
+                    if model.noset is not None:
+                        dbcn = _halve_increment(dbcn, max_dbcn, model.bcn,
+                                                bcn0)
+                du = solve_inc(elstiff, dbcr, dbct, dbcn)
+                deps_d = fek.element_deps(md, du)
+                fy, res_sig, res_depl, grad = fek.respond_grouped(
+                    md, dm if md.groups is not None else dm[0],
+                    CV if md.groups is not None else CV[0],
+                    state.sig, state.epl, deps_d, fast=fast, nsub=nsub)
+                # normalized yield excess per plastic element (host conv)
+                fy_np = np.asarray(fy, dtype=float)
+                fnorm = np.zeros(model.Nel)
+                epl_np = np.asarray(state.epl, dtype=float)
+                for mat, idx in groups:
+                    if mat.sy is not None:
+                        fnorm[idx] = fy_np[idx] / mat._sflow_rows(epl_np[idx])
+                conv = bool(np.all(fnorm <= yf_tolerance * 1.0001))
+                if not conv:
+                    nconv += 1
+                # tangent update: replace above the change threshold,
+                # average at the 15th iteration (host fallback)
+                gP = fek.elstiff_planes(md, grad)
+                dst = jnp.sqrt(jnp.sum((elstiff - gP) ** 2, axis=0))
+                upd = dst > 1.e-3
+                new = gP if nit < 15 else 0.5 * (gP + elstiff)
+                elstiff = jnp.where(upd, new, elstiff)
+                change = bool(jnp.any(upd))
+                nit += 1
+        else:
+            deps_d = fek.element_deps(md, du)
+            fy, res_sig, res_depl, grad = fek.respond_grouped(
+                md, dm if md.groups is not None else dm[0],
+                CV if md.groups is not None else CV[0],
+                state.sig, state.epl, deps_d, fast=fast, nsub=nsub)
+
+        u_tot = u_tot + du
+        state = fek.SolverState(u=u_tot, sig=res_sig,
+                                epl=state.epl + res_depl,
+                                eps=state.eps + fek.element_deps(md, du),
+                                elstiff=elstiff)
+        il += 1
+        niter.append(nit - 1 if nonlin else 0)
+        co_nconv.append(nconv)
+        bcr0 = bcr0 + dbcr
+        bct0 = bct0 + dbct
+        hl0 = abs(bcr0[0] - model.bcr[0]) > 1e-6 and abs(model.bcr[0]) > 1e-9
+        hl1 = abs(bcr0[1] - model.bcr[1]) > 1e-6 and abs(model.bcr[1]) > 1e-9
+        hr0 = abs(bct0[0] - model.bct[0]) > 1e-6 and abs(model.bct[0]) > 1e-9
+        hr1 = abs(bct0[1] - model.bct[1]) > 1e-6 and abs(model.bct[1]) > 1e-9
+        if model.noset is not None:
+            bcn0 = bcn0 + dbcn
+            hr0 = hr0 or (abs(bcn0[0] - model.bcn[0]) > 1e-6
+                          and abs(model.bcn[0]) > 1e-9)
+            hr1 = hr1 or (abs(bcn0[1] - model.bcn[1]) > 1e-6
+                          and abs(model.bcn[1]) > 1e-9)
+        bc_inc = hl0 or hl1 or hr0 or hr1
+        sgl.append(np.asarray(jnp.mean(state.sig, axis=0), dtype=float))
+        egl.append(np.asarray(jnp.mean(state.eps, axis=0), dtype=float))
+        epgl.append(np.asarray(jnp.mean(state.epl, axis=0), dtype=float))
+
+    _write_back(model, md, state, sgl, egl, epgl)
+    model.bct_mem = bct0
+    model.bcr_mem = bcr0
+    if model.noset is not None:
+        model.bcn_mem = bcn0
+    model.nsteps = il
+    model.niter = niter
+    model.co_nconv = co_nconv
+    return model
+
+
+def _write_back(model, md, state, sgl, egl, epgl):
+    """Write device results back into the host model (displacements,
+    stress-consistent nodal forces, element states, global history)."""
+    model.u = np.asarray(state.u,
+                         dtype=float).transpose(1, 2, 0).reshape(-1)
+    fe = (md.jacw / 4.) * jnp.einsum('ai,ea->ei', md.Bsum, state.sig)
+    f_dev = np.asarray(fek.scatter_element(md, fe), dtype=float)
+    model.f = f_dev.transpose(1, 2, 0).reshape(-1)
+    sig = np.asarray(state.sig, dtype=float)
+    eps = np.asarray(state.eps, dtype=float)
+    epl = np.asarray(state.epl, dtype=float)
+    for i, el in enumerate(model.element):
+        el.sig = sig[i]
+        el.eps = eps[i]
+        el.epl = epl[i]
+    model.sgl = np.array(sgl)
+    model.egl = np.array(egl)
+    model.epgl = np.array(epgl)
+    model.calc_global()
+
+
 def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
-                    nsub=4):
+                    nsub=4, fast=True):
     """Solve the (supported subset of) host model with the device solver and
-    write displacements, element states and global history back."""
+    write displacements, element states and global history back.
+    ``fast=False`` selects the reference-faithful substepped return map
+    instead of the cutting-plane projection (tighter host parity)."""
     md, dm, CV = to_device(model, dtype=dtype)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
@@ -69,7 +413,8 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     epgl = [np.zeros(6)]
     for _ in range(nsteps):
         state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
-                                          n_inner=n_inner, nsub=nsub)
+                                          n_inner=n_inner, nsub=nsub,
+                                          fast=fast)
         sgl.append(np.asarray(diag['glob_sig'], dtype=float))
         egl.append(np.asarray(diag['glob_eps'], dtype=float))
         epgl.append(np.asarray(diag['glob_epl'], dtype=float))

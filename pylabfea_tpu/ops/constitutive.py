@@ -45,14 +45,16 @@ class DeviceMaterial(NamedTuple):
     tex: jnp.ndarray         # (tdim,) fixed texture descriptor, else (0,)
     is_svc: bool             # static (aux data, not a traced leaf)
     dev_only: bool           # static: deviatoric stress features
+    sdim3: bool = False      # static: sdim=3 principal-space semantics
 
 
 def _dm_flatten(m):
-    return (m[:-2], (m.is_svc, m.dev_only))
+    return (m[:-3], (m.is_svc, m.dev_only, m.sdim3))
 
 
 def _dm_unflatten(aux, children):
-    return DeviceMaterial(*children, is_svc=aux[0], dev_only=aux[1])
+    return DeviceMaterial(*children, is_svc=aux[0], dev_only=aux[1],
+                          sdim3=aux[2])
 
 
 jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
@@ -101,6 +103,25 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
             scale_wh=as_d(getattr(mat, 'scale_wh', None) or 1.),
             feat_mean=fm, feat_scale=fs, tex=tx,
             is_svc=True, dev_only=bool(mat.dev_only))
+    if getattr(mat, 'sy', None) is None:
+        # purely elastic material (no plasticity defined): a sentinel yield
+        # strength far above any physical stress keeps the lanes on the
+        # elastic branch of the shared return-map kernel (1e15 stays well
+        # inside f32 range even through the masked-out plastic-branch
+        # intermediates, which scale like sentinel^2)
+        return DeviceMaterial(
+            hill=as_d(np.ones(6)), sy=as_d(1.e15), khard=as_d(0.),
+            drucker=as_d(0.), sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)),
+            rho=as_d(0.), gamma=as_d(1.), scale_seq=as_d(1.e15),
+            scale_wh=as_d(1.), feat_mean=as_d(np.zeros(0)),
+            feat_scale=as_d(np.zeros(0)), tex=as_d(np.zeros(0)),
+            is_svc=False, dev_only=False)
+    if getattr(mat, 'tresca', False) or getattr(mat, 'barlat', False) \
+            or getattr(mat, 'lhs', None) is not None:
+        raise NotImplementedError(
+            'device constitutive path: Tresca/Barlat/LHS analytic criteria '
+            'run on the host profile (no analytic flow gradient — the '
+            'reference has the same limitation, material.py:558-562)')
     hill = np.ones(6)
     hill[:len(mat.hill)] = mat.hill
     return DeviceMaterial(
@@ -109,7 +130,8 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
         gamma=as_d(1.), scale_seq=as_d(mat.sy), scale_wh=as_d(1.),
         feat_mean=as_d(np.zeros(0)), feat_scale=as_d(np.zeros(0)),
-        tex=as_d(np.zeros(0)), is_svc=False, dev_only=False)
+        tex=as_d(np.zeros(0)), is_svc=False, dev_only=False,
+        sdim3=mat.sdim == 3)
 
 
 # -----------------------------------------------------------------
@@ -142,15 +164,26 @@ def _rbf_d2(x, sv):
 
 
 def seq_hill(m: DeviceMaterial, sig):
-    """Hill-6p equivalent stress (J2 when all parameters are 1) with Drucker
-    hydrostatic term; sig (..., 6)."""
+    """Hill equivalent stress with Drucker hydrostatic term; sig (..., 6).
+
+    ``sdim3`` materials follow the host's sdim=3 convention
+    (calc_seq, reference material.py:576-676): the 3-parameter Hill
+    quadratic is evaluated on the PRINCIPAL stresses (host eigenvalue
+    ordering); otherwise the 6-parameter form acts on the Voigt components
+    directly.  J2 (all parameters 1) coincides in both."""
     hp = m.hill
-    I2 = 0.5 * (hp[0] * (sig[..., 0] - sig[..., 1]) ** 2 +
-                hp[1] * (sig[..., 1] - sig[..., 2]) ** 2 +
-                hp[2] * (sig[..., 2] - sig[..., 0]) ** 2 +
-                6. * hp[3] * sig[..., 3] ** 2 +
-                6. * hp[4] * sig[..., 4] ** 2 +
-                6. * hp[5] * sig[..., 5] ** 2)
+    if m.sdim3 and sig.shape[-1] == 6:
+        s, _ = jt.sig_princ_device(sig)
+        sh3 = sh4 = sh5 = 0.
+    else:
+        s = sig
+        sh3, sh4, sh5 = sig[..., 3], sig[..., 4], sig[..., 5]
+    I2 = 0.5 * (hp[0] * (s[..., 0] - s[..., 1]) ** 2 +
+                hp[1] * (s[..., 1] - s[..., 2]) ** 2 +
+                hp[2] * (s[..., 2] - s[..., 0]) ** 2 +
+                6. * hp[3] * sh3 ** 2 +
+                6. * hp[4] * sh4 ** 2 +
+                6. * hp[5] * sh5 ** 2)
     I1 = m.drucker * jnp.sum(sig[..., 0:3], axis=-1) / 3.
     return jnp.sqrt(I2) + I1
 
@@ -310,7 +343,17 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
                                 svc_gradient(m, _features(m, sig, epl)))
     hp = m.hill
     seq = seq_hill(m, sig)
-    sdev = jt.sig_dev(sig)
+    if m.sdim3 and sig.shape[-1] == 6:
+        # host sdim=3 convention (calc_fgrad, material.py:826-855): the
+        # principal-space gradient components fill the normal Voigt slots,
+        # shear components stay ZERO (no eigenvector back-rotation — the
+        # reference's numerical contract, replicated for parity)
+        s = jt.sig_princ_device(sig)[0]
+        zero = jnp.zeros_like(seq)
+    else:
+        s = sig
+        zero = None
+    sdev = jt.sig_dev(s)
     d3 = m.drucker / 3.
     g0 = ((hp[0] + hp[2]) * sdev[..., 0] - hp[0] * sdev[..., 1]
           - hp[2] * sdev[..., 2]) / (2. * seq) + d3
@@ -318,6 +361,8 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
           - hp[1] * sdev[..., 2]) / (2. * seq) + d3
     g2 = ((hp[2] + hp[1]) * sdev[..., 2] - hp[2] * sdev[..., 0]
           - hp[1] * sdev[..., 1]) / (2. * seq) + d3
+    if zero is not None:
+        return jnp.stack([g0, g1, g2, zero, zero, zero], axis=-1)
     g3 = 3. * hp[3] * sdev[..., 3] / seq
     g4 = 3. * hp[4] * sdev[..., 4] / seq
     g5 = 3. * hp[5] * sdev[..., 5] / seq

@@ -25,8 +25,7 @@ from pylabfea_tpu.ops import constitutive as con
 
 
 class MeshData(NamedTuple):
-    """Structured-mesh arrays for the device solver (single material zone
-    per instance; multiple zones = multiple MeshData + summed K-apply).
+    """Structured-mesh arrays for the device solver.
 
     DOF layout: on structured grids (``grid`` set) nodal vectors are
     **component-major 2-D planes** of shape (2, nnX, nnY) — the large nnY
@@ -35,7 +34,13 @@ class MeshData(NamedTuple):
     interleaved (node, dof) layout wastes 126/128 lanes and measured 8x
     slower).  With ``grid=None`` (unstructured / sharded element path)
     vectors are flat (Ndof,) with dof = comp * nnode + node — the raveled
-    twin of the same ordering."""
+    twin of the same ordering.
+
+    Multi-material meshes (``groups`` set): ``perm`` sorts elements into
+    contiguous per-material blocks with static (start, size) extents in
+    ``groups`` — the return map gathers each block, updates it with its own
+    material/stiffness, and scatters back to mesh order (the expert-parallel
+    analogue of per-material batching)."""
     dofs: jnp.ndarray        # (Nel, 8) int32 global dof indices (flat layout)
     B: jnp.ndarray           # (ngp, 6, 8) shared B matrices (uniform elements)
     Bsum: jnp.ndarray        # (6, 8) wght * sum_g B (element-average strain)
@@ -44,17 +49,20 @@ class MeshData(NamedTuple):
     fixed: jnp.ndarray       # (2, nnX, nnY) | (Ndof,) bool displacement-BC mask
     fixed_val: jnp.ndarray   # prescribed displacement values (per unit load)
     force: jnp.ndarray       # external force pattern (per unit load)
+    perm: jnp.ndarray        # (Nel,) int32 material-sort permutation; (0,) if single-material
     ndof: int                # static (aux data)
     nel: int                 # static (aux data)
     grid: tuple              # static (NX, NY, lx, ly, uniax) structured info, else None
+    groups: tuple            # static ((start, size), ...) per material, else None
 
 
 def _md_flatten(m):
-    return (m[:-3], (m.ndof, m.nel, m.grid))
+    return (m[:-4], (m.ndof, m.nel, m.grid, m.groups))
 
 
 def _md_unflatten(aux, children):
-    return MeshData(*children, ndof=aux[0], nel=aux[1], grid=aux[2])
+    return MeshData(*children, ndof=aux[0], nel=aux[1], grid=aux[2],
+                    groups=aux[3])
 
 
 jax.tree_util.register_pytree_node(MeshData, _md_flatten, _md_unflatten)
@@ -102,10 +110,66 @@ def _quad_B(lx, ly, dtype=np.float64, ps_CV=None, ps_E=None, ps_nu=None):
     return Bs
 
 
+def make_edge_bcs(NX, NY, left=None, right=None, bot=None, top=None,
+                  nodes=()):
+    """General structured-grid BC planes from host-style edge specs.
+
+    Each edge spec maps a component (0 = x, 1 = y) to ``(bctype, value)``
+    with bctype 'disp' (prescribed displacement) or 'force' (TOTAL edge
+    force, distributed uniformly per node with half weight at the edge's
+    end nodes — the reference convention, model.py:1147-1179).  ``nodes``
+    is an iterable of ``(ix, iy, comp, bctype, value)`` single-node BCs
+    ('force' = full per-node load, model.py:715 node sets).  Conflicting
+    displacement BCs are first-come in the host order (left, bottom,
+    right, top, node set).
+
+    Returns numpy planes (fixed (2, nnX, nnY) bool, fixed_val, force) for
+    a unit load factor.
+    """
+    nnX, nnY = NX + 1, NY + 1
+    fixed = np.zeros((2, nnX, nnY), dtype=bool)
+    fval = np.zeros((2, nnX, nnY))
+    force = np.zeros((2, nnX, nnY))
+    sel = {'left': (0, slice(None)), 'right': (nnX - 1, slice(None)),
+           'bot': (slice(None), 0), 'top': (slice(None), nnY - 1)}
+
+    def apply_edge(which, spec):
+        if not spec:
+            return
+        ii, jj = sel[which]
+        n_edge = nnY if which in ('left', 'right') else nnX
+        for comp, (bctype, val) in spec.items():
+            if bctype == 'disp':
+                new = ~fixed[comp, ii, jj]
+                v = fval[comp, ii, jj]
+                v[new] = val
+                fval[comp, ii, jj] = v
+                fixed[comp, ii, jj] = True
+            elif bctype == 'force':
+                h = np.full(n_edge, 1. / max(n_edge - 1, 1))
+                h[0] *= 0.5
+                h[-1] *= 0.5
+                force[comp, ii, jj] += val * h
+            else:
+                raise ValueError(f'unknown bctype {bctype!r}')
+
+    for which, spec in (('left', left), ('bot', bot), ('right', right),
+                        ('top', top)):
+        apply_edge(which, spec)
+    for ix, iy, comp, bctype, val in nodes:
+        if bctype == 'disp':
+            if not fixed[comp, ix, iy]:
+                fixed[comp, ix, iy] = True
+                fval[comp, ix, iy] = val
+        else:
+            force[comp, ix, iy] += val
+    return fixed, fval, force
+
+
 def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
               dtype=jnp.float32, planestress=False, ps_CV=None, ps_E=None,
-              ps_nu=None, eps_x=None, eps_y=None):
-    """Structured NX x NY quad mesh with uniaxial-displacement BCs:
+              ps_nu=None, eps_x=None, eps_y=None, bc=None, mat_map=None):
+    """Structured NX x NY quad mesh.  Default BCs are uniaxial-displacement:
     left fixed in x, bottom fixed in y, top pulled in +y (if uniax='y') or
     right pulled in +x.  Returns MeshData; `fixed_val`/`force` are patterns
     for a unit load factor (scaled to eps_tot * L by the solver).
@@ -117,7 +181,17 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
 
     ``uniax='xy'`` prescribes displacements on BOTH the right (x) and top
     (y) edges with magnitudes ``eps_x``/``eps_y`` (signed strains) — the
-    biaxial / shear load paths of ``Material.calc_properties``."""
+    biaxial / shear load paths of ``Material.calc_properties``.
+
+    ``bc`` (dict with keys left/right/bot/top/nodes, see ``make_edge_bcs``)
+    replaces the uniax defaults with general displacement/force BCs —
+    force-controlled edges with the reference's half-corner-weight
+    distribution and single-node pins/loads.
+
+    ``mat_map`` (NX, NY) int array of material-group indices enables the
+    multi-material path: elements are permuted into contiguous per-material
+    blocks (``perm``/``groups``) consumed by ``respond_grouped``; pass
+    tuples of (DeviceMaterial, CV) to the solvers."""
     nnX, nnY = NX + 1, NY + 1
     nnode = nnX * nnY
     ndof = 2 * nnode
@@ -131,21 +205,42 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     # twin of the (2, nnX, nnY) plane layout used on structured grids
     dofs = np.stack([nodes + d * nnode for d in range(2)],
                     axis=2).reshape(-1, 8)
-    fixed = np.zeros((2, nnX, nnY), dtype=bool)
-    fixed_val = np.zeros((2, nnX, nnY))
-    fixed[0, 0, :] = True                   # left: ux = 0
-    fixed[1, :, 0] = True                   # bottom: uy = 0
-    ex = eps_tot if eps_x is None else eps_x
-    ey = eps_tot if eps_y is None else eps_y
-    if uniax in ('y', 'xy'):
-        fixed[1, :, -1] = True              # top: uy prescribed
-        fixed_val[1, :, -1] = ey * LY
-    if uniax in ('x', 'xy'):
-        fixed[0, -1, :] = True              # right: ux prescribed
-        fixed_val[0, -1, :] = ex * LX
+    if bc is not None:
+        fixed, fixed_val, force = make_edge_bcs(
+            NX, NY, left=bc.get('left'), right=bc.get('right'),
+            bot=bc.get('bot'), top=bc.get('top'), nodes=bc.get('nodes', ()))
+        uniax = 'bc'
+    else:
+        fixed = np.zeros((2, nnX, nnY), dtype=bool)
+        fixed_val = np.zeros((2, nnX, nnY))
+        force = np.zeros((2, nnX, nnY))
+        fixed[0, 0, :] = True                   # left: ux = 0
+        fixed[1, :, 0] = True                   # bottom: uy = 0
+        ex = eps_tot if eps_x is None else eps_x
+        ey = eps_tot if eps_y is None else eps_y
+        if uniax in ('y', 'xy'):
+            fixed[1, :, -1] = True              # top: uy prescribed
+            fixed_val[1, :, -1] = ey * LY
+        if uniax in ('x', 'xy'):
+            fixed[0, -1, :] = True              # right: ux prescribed
+            fixed_val[0, -1, :] = ex * LX
+    if mat_map is not None:
+        ids = np.asarray(mat_map, dtype=np.int64).reshape(NX * NY)
+        nmat = int(ids.max()) + 1
+        perm = np.argsort(ids, kind='stable').astype(np.int32)
+        counts = np.bincount(ids, minlength=nmat)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        groups = tuple((int(s), int(c)) for s, c in zip(starts, counts))
+    else:
+        perm = np.zeros(0, dtype=np.int32)
+        groups = None
     if planestress:
         if ps_CV is None or ps_E is None or ps_nu is None:
             raise ValueError('planestress=True requires ps_CV, ps_E, ps_nu')
+        if groups is not None:
+            raise NotImplementedError(
+                'multi-material plane stress: the eps_33 condensation row '
+                'is material-dependent; use planestress=False')
         Bs = _quad_B(lx, ly, ps_CV=ps_CV, ps_E=ps_E, ps_nu=ps_nu)
     else:
         Bs = _quad_B(lx, ly)
@@ -158,8 +253,10 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         vel=jnp.asarray(vel, dtype=dtype),
         fixed=jnp.asarray(fixed),
         fixed_val=jnp.asarray(fixed_val, dtype=dtype),
-        force=jnp.zeros((2, nnX, nnY), dtype=dtype),
-        ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax))
+        force=jnp.asarray(force, dtype=dtype),
+        perm=jnp.asarray(perm),
+        ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax),
+        groups=groups)
 
 
 _CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -374,6 +471,48 @@ def element_deps(md: MeshData, du):
                       preferred_element_type=du.dtype)
 
 
+def respond_grouped(md: MeshData, mat, CV, sig, epl, deps, fast=True,
+                    maxiter=12, nsub=1):
+    """Batched return map with per-material dispatch.
+
+    Single-material meshes (``md.groups is None``) run one chunked return
+    map.  Multi-material meshes gather the element state into the static
+    contiguous per-material blocks of ``md.perm``/``md.groups``, update
+    each block with its own jitted return map (own DeviceMaterial and
+    elastic stiffness — ``mat``/``CV`` are tuples indexed by group), and
+    scatter the results back to mesh element order.  This is the
+    expert-parallel analogue for constitutive models: the gathers are
+    O(N * 6) while the return maps are O(N * nsv), so grouping costs
+    almost nothing and each material pays only for its own elements.
+    """
+    dt = sig.dtype
+    if md.groups is None:
+        CVd = jnp.asarray(CV, dt)
+        if fast:
+            return con.response_fast_chunked(mat, (sig, epl), deps, CVd,
+                                             maxiter, nsub)
+        return con.response_chunked(mat, (sig, epl), deps, CVd)
+    sig_g, epl_g, deps_g = sig[md.perm], epl[md.perm], deps[md.perm]
+    parts = []
+    for k, (start, size) in enumerate(md.groups):
+        if size == 0:
+            continue
+        sl = slice(start, start + size)
+        CVk = jnp.asarray(CV[k], dt)
+        if fast:
+            parts.append(con.response_fast_chunked(
+                mat[k], (sig_g[sl], epl_g[sl]), deps_g[sl], CVk,
+                maxiter, nsub))
+        else:
+            parts.append(con.response_chunked(
+                mat[k], (sig_g[sl], epl_g[sl]), deps_g[sl], CVk))
+    fy_g, sig_n, depl_n, grad_n = (jnp.concatenate([p[i] for p in parts])
+                                   for i in range(4))
+    # groups tile [0, Nel) in permuted order: original[perm[j]] = block[j]
+    scat = lambda x: jnp.zeros_like(x).at[md.perm].set(x)
+    return scat(fy_g), scat(sig_n), scat(depl_n), scat(grad_n)
+
+
 class SolverState(NamedTuple):
     u: jnp.ndarray           # (2, nnX, nnY) grid planes | (Ndof,) flat
     sig: jnp.ndarray         # (Nel, 6)
@@ -383,8 +522,26 @@ class SolverState(NamedTuple):
 
 
 def init_state(md: MeshData, CV, dtype=jnp.float32):
-    CV = jnp.asarray(CV, dtype=dtype)
     ushape = md.fixed.shape
+    if md.groups is not None:
+        # per-element elastic stiffness from the material groups
+        rows = np.zeros((md.nel, 6, 6))
+        perm = np.asarray(md.perm)
+        for k, (start, size) in enumerate(md.groups):
+            rows[perm[start:start + size]] = np.asarray(CV[k])
+        if md.grid is not None:
+            NX, NY = md.grid[:2]
+            elstiff = jnp.asarray(
+                rows.reshape(md.nel, 36).T.reshape(36, NX, NY), dtype=dtype)
+        else:
+            elstiff = jnp.asarray(rows, dtype=dtype)
+        return SolverState(
+            u=jnp.zeros(ushape, dtype=dtype),
+            sig=jnp.zeros((md.nel, 6), dtype=dtype),
+            epl=jnp.zeros((md.nel, 6), dtype=dtype),
+            eps=jnp.zeros((md.nel, 6), dtype=dtype),
+            elstiff=elstiff)
+    CV = jnp.asarray(CV, dtype=dtype)
     if md.grid is not None:
         NX, NY = md.grid[:2]
         elstiff = jnp.broadcast_to(CV.reshape(36, 1, 1), (36, NX, NY))
@@ -428,7 +585,8 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
             f'512x512 single-chip TPU meshes (this mesh: {md.nel} elements); '
             f'use load_step_split for large single-chip meshes.',
             stacklevel=2)
-    CV = jnp.asarray(CV, dtype=state.u.dtype)
+    if md.groups is None:
+        CV = jnp.asarray(CV, dtype=state.u.dtype)
     if cg_tol is None:
         # f32 cannot reach 1e-8 relative residuals (a stalled CG can then
         # diverge); 1e-6 is reliably reachable with the MG preconditioner
@@ -482,12 +640,9 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
         elstiff = carry
         du, Ke, cg_res, cg_it = solve_with(elstiff, state.u)
         deps = element_deps(md, du)
-        if fast:
-            fy, sig_n, depl_n, grad = con.response_fast(
-                mat, (state.sig, state.epl), deps, CV, 12, nsub)
-        else:
-            fy, sig_n, depl_n, grad = con.response(
-                mat, (state.sig, state.epl), deps, CV)
+        fy, sig_n, depl_n, grad = respond_grouped(
+            md, mat, CV, state.sig, state.epl, deps, fast=fast,
+            maxiter=12, nsub=nsub)
         if md.grid is not None:
             gP = elstiff_planes(md, grad)
             dst = jnp.sqrt(jnp.sum((elstiff - gP) ** 2, axis=0))
@@ -523,10 +678,12 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
     return new, diag
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
+@partial(jax.jit, static_argnums=(4, 5))
+def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
+                 cg_maxiter=100):
     """One (jitted) linear solve with the current tangent field: prescribed
-    displacements ``bc_val`` on fixed dofs, MG-CG on structured meshes.
+    displacements ``bc_val`` on fixed dofs, optional external nodal force
+    increment ``force`` on free dofs, MG-CG on structured meshes.
     Returns (du, res, iters)."""
     from pylabfea_tpu.ops import multigrid as mg
     dtype = elstiff.dtype
@@ -536,11 +693,12 @@ def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
         Kp = element_stiffness_planes(md, elstiff)
         fixT = _split(md.fixed)
         bcT = _split(bc_val)
+        frcT = _split(force) if force is not None else (0., 0.)
         du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
         fp = _contract_planes(Kp, _gather_planes(md, du_bc))
         neg = _scatter_planes(md, fp)
-        rhs = tuple(jnp.where(f, b, -q)
-                    for f, b, q in zip(fixT, bcT, neg))
+        rhs = tuple(jnp.where(f, b, fr - q)
+                    for f, b, fr, q in zip(fixT, bcT, frcT, neg))
         levels = mg.build_hierarchy(md, elstiff)
         duT, res, it = mg.mg_cg_solve(levels, rhs, du_bc, tol=cg_tol,
                                       maxiter=min(cg_maxiter, 100))
@@ -549,7 +707,10 @@ def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
     du_bc = jnp.where(md.fixed, bc_val, 0.)
     vm = gather_element(md, du_bc)
     fe = jnp.einsum('eij,ej->ei', Ke, vm, preferred_element_type=dtype)
-    rhs = jnp.where(md.fixed, bc_val, -scatter_element(md, fe))
+    rhs = -scatter_element(md, fe)
+    if force is not None:
+        rhs = rhs + force
+    rhs = jnp.where(md.fixed, bc_val, rhs)
     x0 = jnp.where(md.fixed, bc_val, 0.)
     return cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0, k_diag(md, Ke),
                     tol=cg_tol, maxiter=cg_maxiter)
@@ -558,17 +719,13 @@ def solve_linear(md: MeshData, elstiff, bc_val, cg_tol=None, cg_maxiter=100):
 @partial(jax.jit, static_argnums=(5, 6))
 def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
                         fast=True, nsub=4):
-    """Jitted response + tangent update for the split-program load step."""
-    CV = jnp.asarray(CV, dtype=state.u.dtype)
+    """Jitted response + tangent update for the split-program load step.
+    Chunked above ~2M points: the live (N, nsv) SVC kernel matrices
+    otherwise exceed HBM (observed OOM at 2048^2 x 512 SVs on v5e)."""
     deps = element_deps(md, du)
-    if fast:
-        # chunked above ~2M points: the live (N, nsv) SVC kernel matrices
-        # otherwise exceed HBM (observed OOM at 2048^2 x 512 SVs on v5e)
-        fy, sig_n, depl_n, grad = con.response_fast_chunked(
-            mat, (state.sig, state.epl), deps, CV, 12, nsub)
-    else:
-        fy, sig_n, depl_n, grad = con.response_chunked(
-            mat, (state.sig, state.epl), deps, CV)
+    fy, sig_n, depl_n, grad = respond_grouped(
+        md, mat, CV, state.sig, state.epl, deps, fast=fast, maxiter=12,
+        nsub=nsub)
     if md.grid is not None:
         gP = elstiff_planes(md, grad)
         dst = jnp.sqrt(jnp.sum((state.elstiff - gP) ** 2, axis=0))
@@ -590,10 +747,11 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     deep multigrid hierarchies, at the cost of a few extra host
     dispatches per step.  Preferred for large single-chip meshes."""
     bc_val = md.fixed_val * load_frac
+    force = md.force * load_frac
     elstiff = state.elstiff
     for _ in range(n_inner + 1):
-        du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, cg_tol,
-                                         cg_maxiter)
+        du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
+                                         cg_tol, cg_maxiter)
         st = state._replace(elstiff=elstiff)
         fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
             md, st, mat, CV, du, fast, nsub)

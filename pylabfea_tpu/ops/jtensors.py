@@ -42,18 +42,35 @@ def seq_j2_princ(sp):
     return jnp.sqrt(0.5 * (d12 ** 2 + d23 ** 2 + d31 ** 2))
 
 
-def sig_princ_device(sig):
-    """Principal stresses + eigenvectors on device via ``eigh``.
+_AXIS_PERMS = np.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
+                        [1, 2, 0], [2, 0, 1], [2, 1, 0]])
 
-    Ordering is normalized to the host convention (row-argmax stable sort,
-    det > 0); ties resolve by eigh's ascending-eigenvalue order.
+
+def sig_princ_device(sig):
+    """Principal stresses + eigenvectors on device via ``eigh``, with the
+    eigen-pairs assigned to the material axes by the OPTIMAL alignment:
+    the permutation maximizing sum_r |v[r, perm[r]]| over all 6 axis
+    assignments (each axis gets the eigenvector that dominates it).
+
+    This is invariant to the eigendecomposition's internal column order —
+    unlike the reference's row-argsort reorder of the raw ``np.linalg.eig``
+    output (basic.py:153-173), whose result depends on LAPACK's unspecified
+    eigenvalue ordering for strongly rotated states.  On principal/coaxial
+    inputs and on the near-axis-aligned states of the reference's test
+    workloads the two conventions coincide; ambiguous rotated states
+    resolve here deterministically (first-max permutation, eigh ascending
+    base order) instead of by LAPACK internals.
     """
     st = voigt_to_tensor(sig)
     w, v = jnp.linalg.eigh(st)
-    iev = jnp.argmax(jnp.abs(v), axis=-1)
-    j = jnp.argsort(iev, axis=-1, stable=True)
-    eva = jnp.take_along_axis(v, j[..., :, None], axis=-2)
-    spa = jnp.take_along_axis(w, j, axis=-1)
+    absv = jnp.abs(v)  # rows = axes, columns = eigenvectors
+    scores = jnp.stack(
+        [absv[..., 0, p[0]] + absv[..., 1, p[1]] + absv[..., 2, p[2]]
+         for p in _AXIS_PERMS], axis=-1)
+    best = jnp.argmax(scores, axis=-1)
+    perm = jnp.asarray(_AXIS_PERMS)[best]          # (..., 3)
+    spa = jnp.take_along_axis(w, perm, axis=-1)
+    eva = jnp.take_along_axis(v, perm[..., None, :], axis=-1)
     det = jnp.linalg.det(eva)
     eva = jnp.where((det < 0)[..., None, None], -eva, eva)
     return spa, eva

@@ -28,11 +28,16 @@ def _grid_of(md):
 
 
 def coarsen_mesh(md: fek.MeshData):
-    """MeshData of the next-coarser level (half resolution, same BCs and
-    element aspect ratio; the 2-D quad element matrix is size-invariant)."""
+    """MeshData of the next-coarser level (half resolution, same element
+    aspect ratio; the 2-D quad element matrix is size-invariant).  The
+    coarse displacement-BC mask is the injection of the fine mask at the
+    coinciding nodes (coarse (I, J) <-> fine (2I, 2J)) — exact for edge BCs
+    and single-node pins, and valid for arbitrary BC layouts (the coarse
+    levels only precondition; the fine level enforces the BCs exactly)."""
     NX, NY, lx, ly, uniax = md.grid
-    return fek.rect_mesh(NX // 2, NY // 2, LX=lx * NX, LY=ly * NY,
-                         uniax=uniax, eps_tot=0., dtype=md.B.dtype)
+    mdc = fek.rect_mesh(NX // 2, NY // 2, LX=lx * NX, LY=ly * NY,
+                        uniax='none', eps_tot=0., dtype=md.B.dtype)
+    return mdc._replace(fixed=md.fixed[:, ::2, ::2])
 
 
 def coarsen_elstiff(md, elstiff):

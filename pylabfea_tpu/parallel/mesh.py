@@ -40,7 +40,8 @@ def shard_mesh_data(md: MeshData, mesh: Mesh) -> MeshData:
         fixed=dev(md.fixed.reshape(-1), rep),
         fixed_val=dev(md.fixed_val.reshape(-1), rep),
         force=dev(md.force.reshape(-1), rep),
-        ndof=md.ndof, nel=md.nel, grid=None)
+        perm=dev(md.perm, rep),
+        ndof=md.ndof, nel=md.nel, grid=None, groups=md.groups)
 
 
 def shard_state(state: SolverState, mesh: Mesh) -> SolverState:

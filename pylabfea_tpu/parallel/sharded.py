@@ -44,7 +44,7 @@ class StripMesh:
     """
 
     def __init__(self, NX, NY, LX=1., LY=1., uniax='y', eps_tot=0.01,
-                 n_devices=None, dtype=jnp.float32):
+                 n_devices=None, dtype=jnp.float32, bc=None, mat_map=None):
         devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
         D = len(devs)
         if NX % D:
@@ -61,20 +61,44 @@ class StripMesh:
         self.B = jnp.asarray(Bs, dtype=dtype)
         self.Bsum = jnp.asarray(Bs.sum(axis=0), dtype=dtype)
         self.jacw = self.lx * self.ly * 4.
-
-        # per-device fixed masks / BC values, per component (D, NXd+1, nnY)
-        fixed = np.zeros((2, D, self.NXd + 1, self.nnY), dtype=bool)
-        val = np.zeros((2, D, self.NXd + 1, self.nnY))
-        fixed[1, :, :, 0] = True                      # bottom: uy = 0
-        fixed[0, 0, 0, :] = True                      # left edge: ux = 0
-        if uniax == 'y':
-            fixed[1, :, :, -1] = True                 # top: uy prescribed
-            val[1, :, :, -1] = self.eps_top
         sh = NamedSharding(self.mesh, P('x'))
+
+        # global BC planes (2, nnX, nnY): general spec via make_edge_bcs,
+        # or the legacy uniaxial defaults
+        if bc is not None:
+            gfix, gval, gforce = fek.make_edge_bcs(
+                NX, NY, left=bc.get('left'), right=bc.get('right'),
+                bot=bc.get('bot'), top=bc.get('top'),
+                nodes=bc.get('nodes', ()))
+        else:
+            gfix = np.zeros((2, NX + 1, self.nnY), dtype=bool)
+            gval = np.zeros((2, NX + 1, self.nnY))
+            gforce = np.zeros((2, NX + 1, self.nnY))
+            gfix[1, :, 0] = True                      # bottom: uy = 0
+            gfix[0, 0, :] = True                      # left edge: ux = 0
+            if uniax == 'y':
+                gfix[1, :, -1] = True                 # top: uy prescribed
+                gval[1, :, -1] = self.eps_top
+
+        # slice into per-device strips with a DUPLICATED boundary column;
+        # nodal values (incl. external forces) are consistent/replicated on
+        # both copies — the `own` weights count them once in reductions
+        def strips(g):
+            out = np.zeros((2, D, self.NXd + 1, self.nnY), dtype=g.dtype)
+            for d in range(D):
+                out[:, d] = g[:, d * self.NXd: d * self.NXd + self.NXd + 1]
+            return out
+
+        fixed = strips(gfix)
+        val = strips(gval)
+        force = strips(gforce)
         self.fixed = tuple(jax.device_put(jnp.asarray(fixed[c]), sh)
                            for c in range(2))
         self.fixed_val = tuple(
             jax.device_put(jnp.asarray(val[c], dtype=dtype), sh)
+            for c in range(2))
+        self.force = tuple(
+            jax.device_put(jnp.asarray(force[c], dtype=dtype), sh)
             for c in range(2))
         # ownership weight for reductions over the duplicated column: the
         # shared column (local index NXd) counts on the right neighbor only
@@ -82,6 +106,15 @@ class StripMesh:
         own[:-1, -1] = 0.
         own_arr = jax.device_put(jnp.asarray(own, dtype=dtype), sh)
         self.own = (own_arr, own_arr)
+        # per-element material-group ids (multi-material strips): global
+        # raster order e = ix * NY + iy is x-major, so the (D, NXd*NY)
+        # blocking is a plain reshape
+        if mat_map is not None:
+            ids = np.asarray(mat_map, dtype=np.int32).reshape(NX * NY)
+            self.mat_ids = jax.device_put(
+                jnp.asarray(ids.reshape(D, self.NXd * NY)), sh)
+        else:
+            self.mat_ids = None
 
     def zeros_u(self):
         sh = NamedSharding(self.mesh, P('x'))
@@ -404,16 +437,46 @@ def cg_solve_strip(sm: StripMesh, el_blocks, rhs, x0, diag, tol=1e-8,
 
 @partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
 def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
-                    mat: con.DeviceMaterial, load_frac=1.0, n_inner=2,
-                    cg_tol=1e-8, nsub=4, schwarz=2):
+                    mat, load_frac=1.0, n_inner=2,
+                    cg_tol=1e-8, nsub=4, schwarz=2, CVs=None):
     """One load step on the strip-decomposed mesh: CG solve (halo-exchange
     K-apply), element-local batched return map (zero communication), tangent
     update, re-solve, final consistent response.  ``schwarz=2`` (default)
     preconditions with two-level additive Schwarz; ``schwarz=True`` is the
-    one-level variant; falsy is Jacobi.  Returns updated
-    (sig, epl, du, diagnostics)."""
-    CV = elstiff_blocks.reshape(-1, 6, 6)[0]  # elastic reference
+    one-level variant; falsy is Jacobi.
+
+    Multi-material strips: pass ``mat`` as a tuple of DeviceMaterials and
+    ``CVs`` as the matching tuple of elastic stiffnesses; the mesh must
+    carry per-element group ids (``StripMesh(mat_map=...)``).  The return
+    map then runs as a masked multi-pass — one pass per material over the
+    sharded element axis (masks are elementwise, so the passes stay
+    communication-free), which beats a global material-sort gather across
+    strips for the typical 2-3-material inclusion workloads.
+
+    Returns updated (sig, epl, du, diagnostics)."""
+    multi = isinstance(mat, (tuple, list)) \
+        and not isinstance(mat, con.DeviceMaterial)
+    CV = elstiff_blocks.reshape(-1, 6, 6)[0]  # elastic reference (single)
     bc = tuple(v * load_frac for v in sm.fixed_val)
+
+    def respond(sig_rows, epl_rows, deps_rows):
+        if not multi:
+            return con.response_fast(mat, (sig_rows, epl_rows), deps_rows,
+                                     CV, 12, nsub)
+        ids = sm.mat_ids.reshape(-1)
+        out = None
+        for k, mk in enumerate(mat):
+            CVk = jnp.asarray(CVs[k], sig_rows.dtype)
+            ok = con.response_fast(mk, (sig_rows, epl_rows), deps_rows,
+                                   CVk, 12, nsub)
+            if out is None:
+                out = ok
+            else:
+                sel = ids == k
+                out = tuple(jnp.where(sel.reshape((-1,) + (1,) * (o.ndim - 1)),
+                                      o, prev)
+                            for prev, o in zip(out, ok))
+        return out
 
     def diag_of(el_blocks):
         @partial(shard_map, mesh=sm.mesh,
@@ -435,8 +498,8 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                       for f, b in zip(sm.fixed, bc))
         zmask = tuple(jnp.zeros_like(f) for f in sm.fixed)
         neg = k_apply(el_blocks, du_bc, zmask)
-        rhs = tuple(jnp.where(f, b, -q)
-                    for f, b, q in zip(sm.fixed, bc, neg))
+        rhs = tuple(jnp.where(f, b, fr * load_frac - q)
+                    for f, b, fr, q in zip(sm.fixed, bc, sm.force, neg))
         diag = diag_of(el_blocks)
         M = None
         if schwarz:
@@ -462,18 +525,18 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
     elstiff = elstiff_blocks
     for _ in range(n_inner):
         deps = deps_of(du)
-        fy, sig_n, depl_n, grad = con.response_fast(
-            mat, (sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6)),
-            deps.reshape(-1, 6), CV, 12, nsub)
+        fy, sig_n, depl_n, grad = respond(
+            sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6),
+            deps.reshape(-1, 6))
         grad_b = grad.reshape(elstiff.shape)
         dst = jnp.linalg.norm((elstiff - grad_b).reshape(grad_b.shape[0], -1,
                                                          36), axis=2)
         elstiff = jnp.where((dst > 1e-3)[..., None, None], grad_b, elstiff)
         du, res, it = solve_with(elstiff)
     deps = deps_of(du)
-    fy, sig_n, depl_n, grad = con.response_fast(
-        mat, (sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6)),
-        deps.reshape(-1, 6), CV, 12, nsub)
+    fy, sig_n, depl_n, grad = respond(
+        sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6),
+        deps.reshape(-1, 6))
     sig_new = sig_n.reshape(sig_blocks.shape)
     epl_new = epl_blocks + depl_n.reshape(epl_blocks.shape)
     diag = {'cg_res': res, 'cg_iters': it,

@@ -48,6 +48,7 @@ def load():
     lib.mlumat_step_abaqus.restype = ctypes.c_double
     lib.mlumat_step_abaqus.argtypes = [dptr, dptr, dptr, dptr, dptr,
                                        ctypes.c_int]
+    lib.umat_.restype = None  # Fortran-ABI Abaqus entry point
     _lib = lib
     return lib
 
@@ -93,6 +94,44 @@ class NativeMLMaterial:
         kh = self.lib.mlumat_grad_fsvc_wh(_dp(self.props), _dp(sig),
                                           _dp(epl), _dp(out))
         return out, kh
+
+    def umat(self, stress, statev, dstran, sse=0., spd=0., nstatv=14):
+        """One increment through the Fortran-ABI ``umat_`` symbol — the
+        exact entry point an Abaqus build links (full Abaqus argument list,
+        CHARACTER*80 hidden length included).  Abaqus component convention.
+        Returns (stress, statev, ddsdde (6, 6), sse, spd)."""
+        c = ctypes
+        stress = np.ascontiguousarray(stress, dtype=np.float64).copy()
+        statev = np.ascontiguousarray(statev, dtype=np.float64).copy()
+        dstran = np.ascontiguousarray(dstran, dtype=np.float64)
+        dd = np.zeros(36)
+        z6 = np.zeros(6)
+        z9 = np.zeros(9)
+        d = c.c_double
+        i = c.c_int
+        sse_ = d(sse)
+        spd_ = d(spd)
+        scd_ = d(0.)
+        rpl = d(0.)
+        drpldt = d(0.)
+        dtime = d(1.)
+        temp = d(0.)
+        dtemp = d(0.)
+        pnewdt = d(1.)
+        celent = d(1.)
+        time = np.zeros(2)
+        cmname = c.create_string_buffer(b'MLUMAT'.ljust(80), 80)
+        self.lib.umat_(
+            _dp(stress), _dp(statev), _dp(dd), c.byref(sse_), c.byref(spd_),
+            c.byref(scd_), c.byref(rpl), _dp(z6), _dp(z6), c.byref(drpldt),
+            _dp(z6), _dp(dstran), _dp(time), c.byref(dtime), c.byref(temp),
+            c.byref(dtemp), _dp(z6), _dp(z6), cmname, c.byref(i(3)),
+            c.byref(i(3)), c.byref(i(6)), c.byref(i(nstatv)),
+            _dp(self.props), c.byref(i(len(self.props))), _dp(z6), _dp(z9),
+            c.byref(pnewdt), c.byref(celent), _dp(z9), _dp(z9),
+            c.byref(i(1)), c.byref(i(1)), c.byref(i(1)), c.byref(i(1)),
+            c.byref(i(1)), c.byref(i(1)), c.c_size_t(80))
+        return stress, statev, dd.reshape(6, 6).T, sse_.value, spd_.value
 
     def step(self, stress, statev, dstran, max_substeps=20, abaqus=False):
         """One constitutive update.  Returns (fy, stress, statev, ddsdde)."""

@@ -43,7 +43,7 @@ def test_bridge_matches_host_solver():
         abs(fe_dev.glob['sig'][1]) < 2e-2
 
 
-def test_bridge_rejects_unsupported():
+def test_bridge_multimaterial_and_rejections():
     mat1 = FE.Material()
     mat1.elasticity(E=100.e3, nu=0.3)
     mat2 = FE.Material()
@@ -56,8 +56,26 @@ def test_bridge_rejects_unsupported():
     fe.bcright(0., 'force')
     fe.bctop(0.01 * fe.leny, 'disp')
     fe.mesh(NX=4, NY=4)
-    with pytest.raises(ValueError, match='one material'):
-        bridge.to_device(fe)
+    # multi-material section models convert to grouped device meshes
+    md, dms, CVs = bridge.to_device(fe)
+    assert len(md.groups) == 2 and len(dms) == 2
+    assert sum(s for _, s in md.groups) == fe.Nel
+    # unmeshed and multi-material plane-stress models are rejected
+    fe2 = FE.Model(dim=2, planestress=False)
+    fe2.geom([2.], LY=2.)
+    fe2.assign([mat1])
+    with pytest.raises(ValueError, match='mesh'):
+        bridge.to_device(fe2)
+    fe3 = FE.Model(dim=2, planestress=True)
+    fe3.geom([2., 2.], LY=2.)
+    fe3.assign([mat1, mat2])
+    fe3.bcleft(0.)
+    fe3.bcbot(0.)
+    fe3.bcright(0., 'force')
+    fe3.bctop(0.01 * fe3.leny, 'disp')
+    fe3.mesh(NX=4, NY=4)
+    with pytest.raises(NotImplementedError, match='plane stress'):
+        bridge.to_device(fe3)
 
 
 def test_bridge_plane_stress():

@@ -144,3 +144,75 @@ def test_native_large_ndof_texture_props():
                 * (-2. * gamma) * (feat[None, :] - sv)).sum(axis=0)
         np.testing.assert_allclose(nm.grad_fsvc(sig), g_np[:6] / scale_seq,
                                    atol=1e-14)
+
+
+def test_umat_fortran_abi(exported):
+    """The Fortran-ABI ``umat_`` symbol (full Abaqus argument list,
+    CHARACTER*80 hidden length) must reproduce ``mlumat_step_abaqus`` and
+    maintain the Abaqus state/energy contract: statev(1:6) plastic strain,
+    statev(7) PEEQ, SSE/SPD trapezoidal work increments."""
+    _, csv = exported
+    nm = native.NativeMLMaterial(csv)
+    rng = np.random.default_rng(3)
+    stress = np.array([60., -20., 10., 5., -3., 8.])
+    statev = np.zeros(14)
+    dstran = rng.normal(0., 4e-4, 6) + np.array([8e-4, 0, 0, 0, 0, 0])
+    sse = spd = 0.
+    for _ in range(6):
+        fy_ref, s_ref, sv_ref, dd_ref = nm.step(stress, statev, dstran,
+                                                abaqus=True)
+        s_new, sv_new, dd, sse, spd = nm.umat(stress, statev, dstran,
+                                              sse=sse, spd=spd)
+        np.testing.assert_allclose(s_new, s_ref, atol=1e-12)
+        np.testing.assert_allclose(sv_new, sv_ref, atol=1e-12)
+        np.testing.assert_allclose(dd, dd_ref, atol=1e-12)
+        stress, statev = s_new, sv_new
+    # plastic flow happened and was booked as dissipation
+    assert statev[6] > 1e-5          # PEEQ
+    assert spd > 0.
+    assert sse + spd > 0.
+    # energy consistency: total work equals sse + spd
+
+
+def test_umat_properties_driver(exported, tmp_path):
+    """The swept-angle properties driver (examples/UMAT/) replays the
+    reference's Abaqus calc_properties workflow through the ``umat_``
+    symbol: for a J2-trained SVC the extracted yield stresses must match
+    the material's yield locus within the training tolerance."""
+    import importlib.util
+    import os
+    mat, csv = exported
+    here = os.path.join(os.path.dirname(__file__), '..', 'examples', 'UMAT')
+    spec = importlib.util.spec_from_file_location(
+        'calc_properties_driver',
+        os.path.join(here, 'calc_properties_driver.py'))
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+    nm = native.NativeMLMaterial(csv)
+    for ang in (0., np.pi / 3., np.pi / 2., np.pi):
+        _, sig_y = drv.drive_angle(nm, ang, epc=2e-3, seq_max=250.,
+                                   nsteps=150)
+        assert sig_y is not None
+        d01, d12, d20 = (sig_y[0] - sig_y[1], sig_y[1] - sig_y[2],
+                         sig_y[2] - sig_y[0])
+        seq = np.sqrt(0.5 * (d01 ** 2 + d12 ** 2 + d20 ** 2)
+                      + 3. * np.sum(sig_y[3:] ** 2))
+        # the extracted stress sits ON the trained yield locus (after
+        # onset the non-hardening flow keeps the state on the surface,
+        # drifting along it — same behavior as the Abaqus/ODB workflow);
+        # locus radius within the SVC training tolerance of the J2
+        # reference sy = 100
+        sig_std = sig_y.copy()
+        sig_std[3], sig_std[5] = sig_y[5], sig_y[3]
+        assert abs(nm.fsvc(sig_std)) < 0.05
+        assert abs(seq - 100.) < 25.
+
+    spec2 = importlib.util.spec_from_file_location(
+        'make_inp', os.path.join(here, 'make_inp.py'))
+    mi = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mi)
+    p1, p2 = mi.write_decks(csv, str(tmp_path))
+    txt = open(p1).read()
+    assert f'constants={len(nm.props)}' in txt
+    assert '*User Material' in txt and '*Depvar' in txt
+    assert os.path.exists(p2)

@@ -107,3 +107,59 @@ def test_two_level_schwarz_iteration_counts():
     assert int(d_2l['cg_iters']) < 40 < int(d_no['cg_iters'])
     assert abs(float(d_2l['glob_sig'][1]) - float(d_no['glob_sig'][1])) \
         < 1e-3 * abs(float(d_no['glob_sig'][1]))
+
+
+def test_strip_multimaterial_inclusion_matches_single():
+    """3-material inclusion (plastic matrix, J2 band, soft elastic core)
+    with free lateral edges and a corner pin: the strip-sharded solver
+    (general BC planes + masked multi-pass return map) must reproduce the
+    single-chip grouped device solver."""
+    import pylabfea_tpu as FE
+    from pylabfea_tpu.ops import constitutive as con
+    dtype = jnp.float64
+    NX, NY = 32, 16
+    mat_h = FE.Material(num=1)
+    mat_h.elasticity(E=200.e3, nu=0.3)
+    mat_h.plasticity(sy=150., hill=[0.7, 1., 1.4, 1., 1., 1.], sdim=6)
+    mat_j = FE.Material(num=2)
+    mat_j.elasticity(E=200.e3, nu=0.3)
+    mat_j.plasticity(sy=150., sdim=6)
+    mat_el = FE.Material(num=3)
+    mat_el.elasticity(E=1.e3, nu=0.27)
+    dms = tuple(con.device_material_from(m, dtype=dtype)
+                for m in (mat_h, mat_j, mat_el))
+    CVs = tuple(np.asarray(m.CV, dtype=float)
+                for m in (mat_h, mat_j, mat_el))
+    mat_map = np.zeros((NX, NY), dtype=int)
+    mat_map[NX // 2:, :] = 1
+    mat_map[NX // 3: 2 * NX // 3, NY // 3: 2 * NY // 3] = 2
+    LX, LY = 4., 2.
+    bc = {'bot': {1: ('disp', 0.)},
+          'top': {1: ('disp', 0.0025 * LY)},
+          'nodes': ((0, 0, 0, 'disp', 0.),)}
+
+    md = fek.rect_mesh(NX, NY, LX=LX, LY=LY, bc=bc, mat_map=mat_map,
+                       dtype=dtype)
+    st = fek.init_state(md, CVs, dtype=dtype)
+    st, d1 = fek.load_step_split(md, st, dms, CVs, 0.8, n_inner=3)
+
+    sm = sh.StripMesh(NX, NY, LX=LX, LY=LY, n_devices=8, dtype=dtype,
+                      bc=bc, mat_map=mat_map)
+    rows = np.zeros((NX * NY, 6, 6))
+    for k in range(3):
+        rows[mat_map.reshape(-1) == k] = CVs[k]
+    el0 = sm.shard_elements(rows)
+    sig0 = sm.shard_elements(np.zeros((NX * NY, 6)))
+    epl0 = sm.shard_elements(np.zeros((NX * NY, 6)))
+    sig1, epl1, du, d2 = sh.strip_load_step(sm, el0, sig0, epl0, dms, 0.8,
+                                            3, 1e-10, 4, 2, CVs=CVs)
+    sig_strip = np.asarray(sig1).reshape(-1, 6)
+    sig_single = np.asarray(st.sig)
+    scale = np.abs(sig_single).max()
+    assert np.abs(sig_strip - sig_single).max() < 1e-5 * scale
+    np.testing.assert_allclose(np.asarray(d2['glob_sig']),
+                               np.asarray(d1['glob_sig']),
+                               rtol=1e-6, atol=1e-6)
+    epl_strip = np.asarray(epl1).reshape(-1, 6)
+    epl_single = np.asarray(st.epl)
+    assert np.abs(epl_strip - epl_single).max() < 1e-8

@@ -137,7 +137,8 @@ def test_chebyshev_smoother_option():
     for sm in ('jacobi', 'chebyshev'):
         mg.SMOOTHER = sm
         fek.solve_linear.clear_cache()
-        du, res, it = fek.solve_linear(md, el, bc, 1e-10, 100)
+        du, res, it = fek.solve_linear(md, el, bc, cg_tol=1e-10,
+                                       cg_maxiter=100)
         assert float(res) < 1e-10
         iters[sm] = int(it)
     mg.SMOOTHER = 'jacobi'
