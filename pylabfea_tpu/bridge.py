@@ -241,9 +241,9 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
         return np.asarray(planes, dtype=float).reshape(36, -1).T.reshape(
             -1, 6, 6)
 
-    def solve_inc(elstiff, dbcr, dbct, dbcn):
+    def solve_inc(elstiff, dbcr, dbct, dbcn, x0=None):
         bc_val, force = _bc_planes(model, dbcr, dbct, dbcn, dtype)
-        du, res, it = fek.solve_linear(md, elstiff, bc_val, force)
+        du, res, it = fek.solve_linear(md, elstiff, bc_val, force, x0=x0)
         return du
 
     # loading direction for ML yield-locus searches (host solve convention)
@@ -311,7 +311,7 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
                     if model.noset is not None:
                         dbcn = _halve_increment(dbcn, max_dbcn, model.bcn,
                                                 bcn0)
-                du = solve_inc(elstiff, dbcr, dbct, dbcn)
+                du = solve_inc(elstiff, dbcr, dbct, dbcn, x0=du)
                 deps_d = fek.element_deps(md, du)
                 fy, res_sig, res_depl, grad = fek.respond_grouped(
                     md, dm if md.groups is not None else dm[0],
@@ -411,10 +411,12 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     sgl = [np.zeros(6)]
     egl = [np.zeros(6)]
     epgl = [np.zeros(6)]
+    du0 = None
     for _ in range(nsteps):
         state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
                                           n_inner=n_inner, nsub=nsub,
-                                          fast=fast)
+                                          fast=fast, du0=du0)
+        du0 = diag['du']
         sgl.append(np.asarray(diag['glob_sig'], dtype=float))
         egl.append(np.asarray(diag['glob_eps'], dtype=float))
         epgl.append(np.asarray(diag['glob_epl'], dtype=float))

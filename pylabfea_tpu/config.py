@@ -48,10 +48,14 @@ def compute_dtype():
 import os as _os
 
 _cache_dir = _os.environ.get("PYLABFEA_TPU_CACHE")
-if _cache_dir is None and default_device_kind() == "tpu":
-    # default-on for TPU (compiles of the deep solver programs are
-    # expensive); CPU stays opt-in because cross-machine AOT reuse of CPU
-    # executables is feature-sensitive
+if _cache_dir is None and "cpu" not in _os.environ.get(
+        "JAX_PLATFORMS", "").lower():
+    # default-on unless the process is pinned to CPU (compiles of the deep
+    # TPU solver programs are expensive; CPU stays opt-in because
+    # cross-machine AOT reuse of CPU executables is feature-sensitive).
+    # Decided from the environment, NOT from jax.devices(): importing this
+    # module must not initialize the backend (jax.distributed.initialize
+    # in multi-host programs must come first).
     _cache_dir = _os.path.expanduser("~/.cache/pylabfea_tpu_xla")
 if _cache_dir:
     try:

@@ -907,34 +907,69 @@ class Material(object):
         self._svc = svc_ops.SVCParams.from_sklearn(clf)
         self.ML_yf = True
 
+    def _fit_svc_backend(self, X_train, y_train, backend, iters=4000):
+        """Fit the RBF SVC with the selected backend and install the trained
+        parameters: 'sklearn' (libsvm SMO, host) or 'jax' (the on-device
+        projected-gradient dual solver of ``pylabfea_tpu.ml_train`` — no
+        sklearn needed at fit time, runs on the accelerator).  Both populate
+        ``self._svc`` (SVCParams), the store every consumer reads (device
+        kernels, UMAT export, FE solvers)."""
+        if backend == 'sklearn':
+            from sklearn import svm
+            clf = svm.SVC(kernel='rbf', C=self.C_yf, gamma=self.gam_yf)
+            clf.fit(X_train, y_train)
+            self._set_svc(clf)
+            return
+        if backend != 'jax':
+            raise ValueError(f"backend must be 'sklearn' or 'jax', "
+                             f"got {backend!r}")
+        from pylabfea_tpu.ml_train import train_svc_jax
+        train_svc_jax(self, X_train, y_train, C=self.C_yf,
+                      gamma=self.gam_yf, iters=iters)
+
+    def _svc_predict(self, X):
+        """Class predictions from the trained SVC (backend-agnostic: the
+        sklearn object if present, the SVCParams decision function else)."""
+        if self.svm_yf is not None:
+            return self.svm_yf.predict(X)
+        return np.where(svc_ops.decision_function(self._svc, X) > 0.,
+                        1., -1.)
+
+    def _svc_score(self, X, y):
+        """Mean classification accuracy of the trained SVC on (X, y)."""
+        return float(np.mean(self._svc_predict(X) == np.asarray(y)))
+
     def setup_yf_SVM(self, x, y_train, x_test=None, y_test=None, C=15.,
                      gamma=2.5, fs=0.1, plot=False, cyl=False,
-                     gridsearch=False, cvals=None, gvals=None, verbose=3):
+                     gridsearch=False, cvals=None, gvals=None, verbose=3,
+                     backend='sklearn'):
         """Train the SVC yield function (dispatch on stress dimensionality)."""
         if self.sdim == 3:
             return self.setup_yf_SVM_3D(x, y_train, x_test=x_test,
                                         y_test=y_test, C=C, gamma=gamma,
                                         fs=fs, plot=plot, cyl=cyl,
                                         gridsearch=gridsearch, cvals=cvals,
-                                        gvals=gvals)
+                                        gvals=gvals, backend=backend)
         return self.setup_yf_SVM_6D(x, y_train, x_test=x_test, y_test=y_test,
                                     C=C, gamma=gamma, plot=plot,
                                     verbose=verbose, gridsearch=gridsearch,
                                     cvals=cvals, gvals=gvals, pca_dim=10,
-                                    metric='acc')
+                                    metric='acc', backend=backend)
 
     def setup_yf_SVM_6D(self, x, y_train, x_test=None, y_test=None, C=10.,
                         gamma=1., plot=False, gridsearch=False, cvals=None,
-                        gvals=None, verbose=3, pca_dim=10, metric='acc'):
+                        gvals=None, verbose=3, pca_dim=10, metric='acc',
+                        backend='sklearn'):
         """Train an RBF SVC on 6-D Voigt stress features (plus optional work
-        hardening and texture dofs).  Returns (train_score, test_score)."""
-        from sklearn import svm
-        from sklearn.model_selection import GridSearchCV
-        from sklearn.preprocessing import StandardScaler
-        from sklearn.decomposition import PCA
-        from sklearn.metrics import matthews_corrcoef
-
+        hardening and texture dofs).  Returns (train_score, test_score).
+        ``backend='jax'`` fits with the on-device dual solver instead of
+        sklearn (no gridsearch support there)."""
         assert self.sdim == 6
+        if backend == 'sklearn' or self.txdat:
+            from sklearn.preprocessing import StandardScaler
+            from sklearn.decomposition import PCA
+        if metric == 'mcc':
+            from sklearn.metrics import matthews_corrcoef
         self.gam_yf = gamma
         self.C_yf = C
         if self.msparam is None:
@@ -980,6 +1015,11 @@ class Material(object):
                                               max_stress, flag, tex)
 
         if gridsearch:
+            if backend != 'sklearn':
+                raise NotImplementedError(
+                    "gridsearch requires backend='sklearn'")
+            from sklearn import svm
+            from sklearn.model_selection import GridSearchCV
             if cvals is None:
                 cvals = [1, 2, 4, 10]
                 if C not in cvals:
@@ -993,34 +1033,31 @@ class Material(object):
             self.grid.fit(X_train, y_train)
             self.gam_yf = self.grid.best_params_["gamma"]
             self.C_yf = self.grid.best_params_["C"]
-        clf = svm.SVC(kernel='rbf', C=self.C_yf, gamma=self.gam_yf)
-        clf.fit(X_train, y_train)
-        self._set_svc(clf)
+        self._fit_svc_backend(X_train, y_train, backend)
 
         if metric == 'acc':
-            train_sc = 100 * clf.score(X_train, y_train)
+            train_sc = 100 * self._svc_score(X_train, y_train)
         elif metric == 'mcc':
-            train_sc = matthews_corrcoef(y_train, clf.predict(X_train))
+            train_sc = matthews_corrcoef(y_train, self._svc_predict(X_train))
         else:
             raise ValueError(f"{metric} must be acc or mcc")
         if X_test is None:
             test_sc = None
         elif metric == 'acc':
-            test_sc = 100 * clf.score(X_test, y_test)
+            test_sc = 100 * self._svc_score(X_test, y_test)
         else:
-            test_sc = matthews_corrcoef(y_test, clf.predict(X_test))
+            test_sc = matthews_corrcoef(y_test, self._svc_predict(X_test))
         if plot:
             self._plot_training_decision(X_train, y_train)
         return train_sc, test_sc
 
     def setup_yf_SVM_3D(self, x, y_train, x_test=None, y_test=None, C=10.,
                         gamma=1., fs=0.1, plot=False, cyl=False,
-                        gridsearch=False, cvals=None, gvals=None, pca_dim=10):
+                        gridsearch=False, cvals=None, gvals=None, pca_dim=10,
+                        backend='sklearn'):
         """Train an RBF SVC in cylindrical stress space (seq/sy-1, theta/pi)
-        with periodic augmentation of the polar angle."""
-        from sklearn import svm
-        from sklearn.model_selection import GridSearchCV
-
+        with periodic augmentation of the polar angle.  ``backend='jax'``
+        fits with the on-device dual solver instead of sklearn."""
         self.gam_yf = gamma
         self.C_yf = C
         assert self.sdim == 3
@@ -1072,6 +1109,11 @@ class Material(object):
                 X_test[:, self.ind_wh] = x_test[:, self.ind_wh + 1] / self.scale_wh
 
         if gridsearch:
+            if backend != 'sklearn':
+                raise NotImplementedError(
+                    "gridsearch requires backend='sklearn'")
+            from sklearn import svm
+            from sklearn.model_selection import GridSearchCV
             if cvals is None:
                 cvals = [2, 4, 6, 8, 10, 15]
                 if C not in cvals:
@@ -1085,11 +1127,10 @@ class Material(object):
             grid.fit(X_train, y_train)
             self.gam_yf = grid.best_params_["gamma"]
             self.C_yf = grid.best_params_["C"]
-        clf = svm.SVC(kernel='rbf', C=self.C_yf, gamma=self.gam_yf)
-        clf.fit(X_train, y_train)
-        self._set_svc(clf)
-        train_sc = 100 * clf.score(X_train, y_train)
-        test_sc = None if X_test is None else 100 * clf.score(X_test, y_test)
+        self._fit_svc_backend(X_train, y_train, backend)
+        train_sc = 100 * self._svc_score(X_train, y_train)
+        test_sc = None if X_test is None \
+            else 100 * self._svc_score(X_test, y_test)
         if plot:
             self._plot_training_decision(X_train, y_train)
         return train_sc, test_sc
@@ -1098,11 +1139,18 @@ class Material(object):
                   mat_ref=None, sdata=None, plot=False, fontsize=16,
                   gridsearch=False, cvals=None, gvals=None, Fe=0.1, Ce=0.99,
                   scaler=None, pca=None, train_index=None, test_index=None,
-                  verbose=1, metric='acc', pca_dim=10, reversal=None):
+                  verbose=1, metric='acc', pca_dim=10, reversal=None,
+                  backend='sklearn'):
         """Top-level SVC training: generates training data from a reference
         material, explicit yield stresses or microstructure data (msparam),
         then fits the yield-function classifier.  For texture data with
-        gridsearch, a K-fold cross validation over textures is performed."""
+        gridsearch, a K-fold cross validation over textures is performed.
+
+        ``backend='jax'`` fits the SVC with the on-device projected-gradient
+        dual solver (``pylabfea_tpu.ml_train``) instead of sklearn's libsvm
+        — the production path when training on the accelerator or in
+        sklearn-free deployments; decision boundaries match within the
+        training-band spacing (tests/test_jax_trainer.py)."""
         if reversal is not None:
             print('WARNING in "train_SVC": Parameter "reversal" is deprecated '
                   'and will be ignored.')
@@ -1158,12 +1206,14 @@ class Material(object):
         if self.sdim == 3:
             train_sc, test_sc = self.setup_yf_SVM_3D(
                 xt, yt, C=C, gamma=gamma, fs=0.3, plot=False,
-                gridsearch=gridsearch, cvals=cvals, gvals=gvals)
+                gridsearch=gridsearch, cvals=cvals, gvals=gvals,
+                backend=backend)
         else:
             train_sc, test_sc = self.setup_yf_SVM_6D(
                 xt, yt, x_test=xtest, y_test=ytest, C=C, gamma=gamma,
                 gridsearch=gridsearch, cvals=cvals, gvals=gvals,
-                verbose=verbose, metric=metric, pca_dim=pca_dim)
+                verbose=verbose, metric=metric, pca_dim=pca_dim,
+                backend=backend)
         if not gridsearch:
             print(f"Training completed with score: {train_sc}")
         if plot:

@@ -680,10 +680,16 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 
 @partial(jax.jit, static_argnums=(4, 5))
 def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
-                 cg_maxiter=100):
+                 cg_maxiter=100, x0=None):
     """One (jitted) linear solve with the current tangent field: prescribed
     displacements ``bc_val`` on fixed dofs, optional external nodal force
     increment ``force`` on free dofs, MG-CG on structured meshes.
+
+    ``x0`` optionally warm-starts CG (fixed dofs are overwritten with the
+    BC values): consecutive equilibrium iterations of a load step solve
+    nearly identical systems, so the previous increment is an excellent
+    initial guess — in the developed-plastic regime this recycles most of
+    the Krylov work that made late load steps cost ~8x the elastic ones.
     Returns (du, res, iters)."""
     from pylabfea_tpu.ops import multigrid as mg
     dtype = elstiff.dtype
@@ -699,8 +705,10 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
         neg = _scatter_planes(md, fp)
         rhs = tuple(jnp.where(f, b, fr - q)
                     for f, b, fr, q in zip(fixT, bcT, frcT, neg))
+        start = du_bc if x0 is None else tuple(
+            jnp.where(f, b, x) for f, b, x in zip(fixT, bcT, _split(x0)))
         levels = mg.build_hierarchy(md, elstiff)
-        duT, res, it = mg.mg_cg_solve(levels, rhs, du_bc, tol=cg_tol,
+        duT, res, it = mg.mg_cg_solve(levels, rhs, start, tol=cg_tol,
                                       maxiter=min(cg_maxiter, 100))
         return _merge(duT), res, it
     Ke = element_stiffness(md, elstiff)
@@ -711,8 +719,8 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
     if force is not None:
         rhs = rhs + force
     rhs = jnp.where(md.fixed, bc_val, rhs)
-    x0 = jnp.where(md.fixed, bc_val, 0.)
-    return cg_solve(lambda v: k_apply(md, Ke, v), rhs, x0, k_diag(md, Ke),
+    start = jnp.where(md.fixed, bc_val, 0. if x0 is None else x0)
+    return cg_solve(lambda v: k_apply(md, Ke, v), rhs, start, k_diag(md, Ke),
                     tol=cg_tol, maxiter=cg_maxiter)
 
 
@@ -740,25 +748,32 @@ def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
 
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
-                    nsub=4):
+                    nsub=4, du0=None):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
     deep multigrid hierarchies, at the cost of a few extra host
-    dispatches per step.  Preferred for large single-chip meshes."""
+    dispatches per step.  Preferred for large single-chip meshes.
+
+    ``du0`` warm-starts the first solve (pass the previous step's ``du``
+    from ``diag['du']`` when load fractions are equal — cuts the
+    developed-plastic CG cost several-fold)."""
     bc_val = md.fixed_val * load_frac
     force = md.force * load_frac
     elstiff = state.elstiff
+    du = du0
     for _ in range(n_inner + 1):
+        # warm-start each equilibrium iteration with the previous increment
+        # (near-identical systems; recycles the Krylov work)
         du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
-                                         cg_tol, cg_maxiter)
+                                         cg_tol, cg_maxiter, x0=du)
         st = state._replace(elstiff=elstiff)
         fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
             md, st, mat, CV, du, fast, nsub)
     new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
                       eps=state.eps + deps, elstiff=elstiff)
     diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,
-            'cg_iters': cg_it,
+            'cg_iters': cg_it, 'du': du,
             'glob_sig': jnp.mean(sig_n, axis=0),
             'glob_eps': jnp.mean(new.eps, axis=0),
             'glob_epl': jnp.mean(new.epl, axis=0)}
@@ -774,10 +789,18 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
     and robust at large mesh sizes."""
     state = init_state(md, CV, dtype=dtype)
     hist = []
-    stepper = load_step_split if split else load_step
+    du0 = None
     for _ in range(nsteps):
-        state, diag = stepper(md, state, mat, CV, 1. / nsteps,
-                              n_inner=n_inner, cg_tol=cg_tol,
-                              cg_maxiter=cg_maxiter, fast=fast, nsub=nsub)
+        if split:
+            state, diag = load_step_split(
+                md, state, mat, CV, 1. / nsteps, n_inner=n_inner,
+                cg_tol=cg_tol, cg_maxiter=cg_maxiter, fast=fast, nsub=nsub,
+                du0=du0)
+            du0 = diag['du']  # equal fractions: previous du ~ next du
+        else:
+            state, diag = load_step(md, state, mat, CV, 1. / nsteps,
+                                    n_inner=n_inner, cg_tol=cg_tol,
+                                    cg_maxiter=cg_maxiter, fast=fast,
+                                    nsub=nsub)
         hist.append((diag['glob_sig'], diag['glob_eps'], diag['glob_epl']))
     return state, hist

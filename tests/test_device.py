@@ -329,3 +329,28 @@ def test_device_hessian(svc_mat):
     sig = rng.normal(0., 60., (8, 6))
     np.testing.assert_allclose(np.asarray(con.hessian(dm, jnp.asarray(sig))),
                                svc_mat.calc_hessian(sig), atol=1e-12)
+
+
+def test_warm_start_recycles_plastic_krylov(hill_mat):
+    """Warm-starting the equilibrium solves (within a load step and across
+    steps via diag['du']) must keep the developed-plastic CG cost at the
+    elastic level — the recycled-Krylov remedy for the plastic-regime
+    iteration growth (cold solves grew ~8x and hit the iteration cap)."""
+    dm = con.device_material_from(hill_mat, dtype=jnp.float64)
+    CV = np.asarray(hill_mat.CV)
+    md = fek.rect_mesh(64, 64, uniax='y', eps_tot=0.004, dtype=jnp.float64)
+    st = fek.init_state(md, CV, dtype=jnp.float64)
+    du0 = None
+    iters = []
+    for _ in range(8):
+        st, d = fek.load_step_split(md, st, dm, CV, 1. / 8., n_inner=2,
+                                    du0=du0)
+        du0 = d['du']
+        iters.append(int(d['cg_iters']))
+        assert float(d['cg_res']) < 1e-7
+    # developed-plastic steps must not cost more than ~3x the elastic ones
+    elastic = max(iters[0], 1)
+    assert max(iters[-3:]) <= 3 * elastic + 6, iters
+    # plasticity actually developed
+    peeq = np.asarray(jnp.linalg.norm(st.epl, axis=1))
+    assert (peeq > 1e-6).mean() > 0.5

@@ -90,3 +90,58 @@ def test_export_mlparam_from_jax_trained(tmp_path):
     for _ in range(6):
         sig = rng.normal(0., 60., 6)
         assert abs(nm.fsvc(sig) - float(mat.calc_yf(sig))) < 1e-8
+
+
+def test_train_svc_backend_jax_first_class():
+    """Material.train_SVC(backend='jax') is a first-class training path:
+    same scaling pipeline, SVCParams store, scores, export and FE usability
+    as the sklearn backend — no sklearn object involved."""
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=100., hill=[1.2, 1., 0.8, 1., 1., 1.], sdim=6)
+
+    mat_j = FE.Material('mlh-jax')
+    mat_j.dev_only = False
+    sc_j, _ = mat_j.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=80, Nseq=6,
+                              backend='jax')
+    assert mat_j.svm_yf is None and mat_j.ML_yf and mat_j._svc is not None
+
+    mat_s = FE.Material('mlh-sk')
+    mat_s.dev_only = False
+    sc_s, _ = mat_s.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=80, Nseq=6,
+                              backend='sklearn')
+    assert abs(sc_j - sc_s) < 2.0  # training-score parity (percent points)
+
+    # the trained material is a full citizen: yf/gradient/device material
+    rng = np.random.default_rng(4)
+    sig = rng.normal(0., 60., (16, 6))
+    f_j = mat_j.calc_yf(sig)
+    f_s = mat_s.calc_yf(sig)
+    assert np.mean(np.sign(f_j) == np.sign(f_s)) > 0.9
+    from pylabfea_tpu.ops import constitutive as con
+    dm = con.device_material_from(mat_j, dtype=jnp.float64)
+    assert dm.is_svc
+
+    # UMAT export works without an sklearn object
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        mat_j.export_MLparam('jaxtest', file='jx', path=td)
+        import os
+        assert os.path.exists(os.path.join(td, 'jx-svm.csv'))
+
+    # 3-D (cylindrical) path
+    ref3 = FE.Material()
+    ref3.elasticity(E=200.e3, nu=0.3)
+    ref3.plasticity(sy=100., sdim=3)
+    mat3 = FE.Material('mlj2-3d-jax')
+    sc3, _ = mat3.train_SVC(C=10, gamma=2.5, Nlc=40, Nseq=4, mat_ref=ref3,
+                            backend='jax')
+    assert sc3 > 95.
+
+    # gridsearch is a host/sklearn feature
+    import pytest
+    mat_g = FE.Material('g')
+    mat_g.dev_only = False
+    with pytest.raises(NotImplementedError, match='sklearn'):
+        mat_g.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=40, Nseq=4,
+                        backend='jax', gridsearch=True)
