@@ -129,10 +129,13 @@ def main():
             md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
                                eps_tot=0.002, dtype=dtype)
             st = fek.init_state(md, CV, dtype=dtype)
-            st, d = fek.load_step_split(md, st, dm, CV, 0.5, n_inner=2)
-            jax.block_until_ready(st.sig)
-            t0 = time.perf_counter()
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
+            jax.block_until_ready(st.sig)
+            # timed step in the production configuration: warm-started
+            # from the previous increment (equal fractions)
+            t0 = time.perf_counter()
+            st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
+                                        du0=d['du'])
             jax.block_until_ready(st.sig)
             dt_fe = time.perf_counter() - t0
             log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
