@@ -66,10 +66,12 @@ def main(N=1024):
     state = fek.init_state(md, CVs, dtype=dtype)
     nsteps = 8
     t_all = 0.
+    du0 = None
     for i in range(nsteps):
         t0 = time.perf_counter()
         state, diag = fek.load_step_split(md, state, dms, CVs,
-                                          1. / nsteps, n_inner=2)
+                                          1. / nsteps, n_inner=2, du0=du0)
+        du0 = diag['du']
         jax.block_until_ready(state.sig)
         dt = time.perf_counter() - t0
         t_all += dt

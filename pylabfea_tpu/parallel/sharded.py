@@ -492,7 +492,7 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                          for f, x in zip(fixed, d))
         return dcalc(el_blocks, sm.fixed)
 
-    def solve_with(el_blocks):
+    def solve_with(el_blocks, x0=None):
         k_apply = make_k_apply(sm)
         du_bc = tuple(jnp.where(f, b, 0.)
                       for f, b in zip(sm.fixed, bc))
@@ -509,7 +509,11 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
             else:
                 pre = make_schwarz_mg(sm, el_blocks)
             M = lambda r: pre(r, el_blocks, sm.fixed, diag)
-        du, res, it = cg_solve_strip(sm, el_blocks, rhs, du_bc, diag,
+        # warm-start from the previous equilibrium iteration's increment
+        # (recycled Krylov; BC rows overwritten with the prescribed values)
+        start = du_bc if x0 is None else tuple(
+            jnp.where(f, b, x) for f, b, x in zip(sm.fixed, bc, x0))
+        du, res, it = cg_solve_strip(sm, el_blocks, rhs, start, diag,
                                      tol=cg_tol, precon=M)
         return du, res, it
 
@@ -532,7 +536,7 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
         dst = jnp.linalg.norm((elstiff - grad_b).reshape(grad_b.shape[0], -1,
                                                          36), axis=2)
         elstiff = jnp.where((dst > 1e-3)[..., None, None], grad_b, elstiff)
-        du, res, it = solve_with(elstiff)
+        du, res, it = solve_with(elstiff, x0=du)
     deps = deps_of(du)
     fy, sig_n, depl_n, grad = respond(
         sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6),
