@@ -768,6 +768,23 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         # no-op safeguard; apply it before the single fused f/grad pass
         sig = jnp.where(plastic[:, None], sig, sig_tr)
         depl = jnp.where(plastic[:, None], depl, depl_in)
+        if not m.is_svc:
+            # radial excess-stress fallback (host response convention,
+            # reference material.py:310-342): sdim=3 materials carry a
+            # ZERO shear flow gradient (principal-space semantics), so
+            # shear-dominated overshoot cannot relax along the flow
+            # direction — scale the whole stress back to the locus (seq is
+            # 1-homogeneous, one factor is exact) and book the compensating
+            # plastic strain through the pseudo-compliance
+            f_chk = yf(m, sig, jt.eps_eq(epl0 + depl), epl0 + depl)
+            seq_c = seq_hill(m, sig)
+            over_c = plastic & (f_chk > toler) & (seq_c > 1e-8)
+            fac = jnp.where(over_c, f_chk / jnp.where(seq_c == 0., 1., seq_c),
+                            0.)
+            dsig_x = sig * fac[:, None]
+            SVc = _compliance(CV)
+            sig = sig - dsig_x
+            depl = depl + _mm(dsig_x, SVc.T)
         # substep tangent: alpha-blend of elastic stiffness and the
         # consistent tangent at the substep end state (path-average over
         # substeps approximates the secant the FE solver needs)

@@ -230,3 +230,24 @@ def test_grouped_response_matches_ungrouped():
     # agreement is to round-off, not bitwise
     for a, b in zip(out_s[:3], out_g[:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_fast_return_map_radial_fallback_sdim3():
+    """Shear-dominated overshoot on sdim=3 materials cannot relax along the
+    (zero-shear) flow gradient; response_fast must fall back to the host's
+    radial excess-stress correction and land on the yield locus."""
+    from pylabfea_tpu.ops import jtensors as jt
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=150., sdim=3)
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    CV = jnp.asarray(mat.CV)
+    # stress state near yield + a strong shear strain increment
+    sig = jnp.asarray([[50., 48., 49., 0., 0., -60.]])
+    epl = jnp.zeros((1, 6))
+    deps = jnp.asarray([[0., 0., 0., 0., 0., -8.e-4]])
+    fy, sig_n, depl_n, grad = con.response_fast(dm, (sig, epl), deps, CV,
+                                                12, 4)
+    f_end = float(con.yf(dm, sig_n, jt.eps_eq(depl_n), depl_n)[0])
+    assert f_end < 0.751  # yf_tolerance * sy * 1.0001
+    assert float(jnp.abs(depl_n).max()) > 0.  # plastic flow was booked
