@@ -713,8 +713,16 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     cap = 0.1 * m.scale_seq
     deps_s = deps / nsub
 
-    def project(sig_in, depl_in):
-        """One cutting-plane projection of the substep trial state."""
+    def project(sig_in, depl_in, f0):
+        """One cutting-plane projection of the substep trial state.
+
+        ``f0`` is the yield function at (sig_in, depl_in) — threaded in
+        from the previous substep's end state (or the one-time evaluation
+        at the response start), so each projection costs exactly
+        1 + n_newton fused f/grad kernel passes: the trial evaluation
+        seeds the loop carry, every Newton update re-evaluates at its own
+        end state, and the final carry IS the end-state (f, grad, khard)
+        the consistent tangent needs — no separate trailing pass."""
         peeq_in = jt.eps_eq(epl0 + depl_in)
         if m.is_svc:
             toler = jnp.full_like(peeq_in, yf_tolerance)
@@ -722,12 +730,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             toler = yf_tolerance * (m.sy + peeq_in * m.khard)
         sig_tr = sig_in + _mm(deps_s, CV.T)
         epl_in = epl0 + depl_in
-        # one batched yf call for trial and start states (a single 2N-row
-        # kernel matmul beats two N-row ones on the MXU)
-        f2 = yf(m, jnp.concatenate([sig_tr, sig_in], axis=0),
-                jnp.concatenate([peeq_in, peeq_in], axis=0),
-                jnp.concatenate([epl_in, epl_in], axis=0))
-        f_tr, f0 = f2[:sig_in.shape[0]], f2[sig_in.shape[0]:]
+        f_tr, a_tr, kh_tr = yf_and_fgrad(m, sig_tr, peeq_in, epl_in)
         plastic = f_tr > toler
         # elastic fraction of this substep (linear interpolation of f along
         # the trial path) — used to blend the reported secant tangent
@@ -737,9 +740,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
         alpha = jnp.clip(alpha, 0., 1.)
 
         def body(s):
-            sig, depl, it, _ = s
-            peeq = jt.eps_eq(epl0 + depl)
-            f, a, kh = yf_and_fgrad(m, sig, peeq, epl0 + depl)
+            sig, depl, f, a, kh, it = s
             ca = _mm(a, CV.T)
             denom = jnp.sum(ca * a, axis=-1) + kh
             denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
@@ -754,18 +755,20 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             lam = lam * scale
             sig = sig - lam[:, None] * ca
             depl = depl + lam[:, None] * a
-            return sig, depl, it + 1, f
+            f, a, kh = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl),
+                                    epl0 + depl)
+            return sig, depl, f, a, kh, it + 1
 
         def cond(s):
-            sig, depl, it, f = s
+            sig, depl, f, a, kh, it = s
             active = plastic & (jnp.abs(f) > toler)
             return active.any() & (it < maxiter)
 
-        sig, depl, _, _ = jax.lax.while_loop(
-            cond, body,
-            (sig_tr, depl_in, 0, jnp.where(plastic, f_tr, 0.)))
+        sig, depl, f_end, a, kh, _ = jax.lax.while_loop(
+            cond, body, (sig_tr, depl_in, f_tr, a_tr, kh_tr, 0))
         # lam == 0 for non-plastic lanes inside the loop, so masking is a
-        # no-op safeguard; apply it before the single fused f/grad pass
+        # no-op safeguard (carried f/a stay consistent: those lanes never
+        # moved off the trial state)
         sig = jnp.where(plastic[:, None], sig, sig_tr)
         depl = jnp.where(plastic[:, None], depl, depl_in)
         if not m.is_svc:
@@ -776,20 +779,21 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             # direction — scale the whole stress back to the locus (seq is
             # 1-homogeneous, one factor is exact) and book the compensating
             # plastic strain through the pseudo-compliance
-            f_chk = yf(m, sig, jt.eps_eq(epl0 + depl), epl0 + depl)
             seq_c = seq_hill(m, sig)
-            over_c = plastic & (f_chk > toler) & (seq_c > 1e-8)
-            fac = jnp.where(over_c, f_chk / jnp.where(seq_c == 0., 1., seq_c),
+            over_c = plastic & (f_end > toler) & (seq_c > 1e-8)
+            fac = jnp.where(over_c, f_end / jnp.where(seq_c == 0., 1., seq_c),
                             0.)
             dsig_x = sig * fac[:, None]
             SVc = _compliance(CV)
             sig = sig - dsig_x
             depl = depl + _mm(dsig_x, SVc.T)
+            # analytic f/grad re-evaluation at the corrected state is cheap
+            # (no kernel matrix); SVC materials reuse the loop carry
+            f_end, a, kh = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl),
+                                        epl0 + depl)
         # substep tangent: alpha-blend of elastic stiffness and the
         # consistent tangent at the substep end state (path-average over
         # substeps approximates the secant the FE solver needs)
-        f_end, a, kh = yf_and_fgrad(m, sig, jt.eps_eq(epl0 + depl),
-                                    epl0 + depl)
         ca = _mm(a, CV.T)
         denom = jnp.sum(ca * a, axis=-1) + kh
         denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
@@ -801,13 +805,15 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     sig = sig0
     depl = jnp.zeros_like(sig0)
     any_plastic = jnp.zeros(N, dtype=bool)
-    f_end = jnp.zeros(N, dtype=dt)
+    # one-time f at the response start state; each projection threads its
+    # end-state f into the next substep's elastic-fraction blend
+    f_end = yf(m, sig0, jt.eps_eq(epl0), epl0)
     if nsub == 1:
-        sig, depl, f_end, any_plastic, grad = project(sig, depl)
+        sig, depl, f_end, any_plastic, grad = project(sig, depl, f_end)
     else:
         def sub_body(_, carry):
             sig, depl, f_end, any_p, gacc = carry
-            sig, depl, f_end, pl, Cs = project(sig, depl)
+            sig, depl, f_end, pl, Cs = project(sig, depl, f_end)
             return sig, depl, f_end, any_p | pl, gacc + Cs / nsub
 
         sig, depl, f_end, any_plastic, grad = jax.lax.fori_loop(

@@ -681,9 +681,14 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
 @partial(jax.jit, static_argnums=(4, 5))
 def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
                  cg_maxiter=100, x0=None):
-    """One (jitted) linear solve with the current tangent field: prescribed
+    """One jitted linear solve with the current tangent field: prescribed
     displacements ``bc_val`` on fixed dofs, optional external nodal force
     increment ``force`` on free dofs, MG-CG on structured meshes.
+
+    The WHOLE solve — multigrid hierarchy build (Galerkin coarsening)
+    included — runs as one compiled program: dispatching the build
+    eagerly cost ~20 ms of op-by-op round-trips per call on a
+    tunnel-attached TPU.
 
     ``x0`` optionally warm-starts CG (fixed dofs are overwritten with the
     BC values): consecutive equilibrium iterations of a load step solve
@@ -691,22 +696,41 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
     initial guess — in the developed-plastic regime this recycles most of
     the Krylov work that made late load steps cost ~8x the elastic ones.
     Returns (du, res, iters)."""
-    from pylabfea_tpu.ops import multigrid as mg
     dtype = elstiff.dtype
     if cg_tol is None:
         cg_tol = 1.e-8 if dtype == jnp.float64 else 1.e-6
+    # None -> zero arrays so a single jitted trace serves every call form
+    # (zero force and zero x0 are exact no-ops in the formulation below)
+    if force is None:
+        force = jnp.zeros_like(bc_val)
+    if x0 is None:
+        x0 = jnp.zeros_like(bc_val)
+    return _solve_linear_jit(md, elstiff, bc_val, force, float(cg_tol),
+                             int(cg_maxiter), x0)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _solve_linear_jit(md: MeshData, elstiff, bc_val, force, cg_tol,
+                      cg_maxiter, x0):
+    """Jitted body of :func:`solve_linear` (single trace: the wrapper
+    resolves the optional force/x0 to zero arrays, which are exact
+    no-ops in this formulation).  ``solve_linear.clear_cache`` drops the
+    compiled traces (needed when module-level switches like
+    ``multigrid.SMOOTHER`` change the traced program)."""
+    from pylabfea_tpu.ops import multigrid as mg
+    dtype = elstiff.dtype
     if md.grid is not None:
         Kp = element_stiffness_planes(md, elstiff)
         fixT = _split(md.fixed)
         bcT = _split(bc_val)
-        frcT = _split(force) if force is not None else (0., 0.)
+        frcT = _split(force)
         du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
         fp = _contract_planes(Kp, _gather_planes(md, du_bc))
         neg = _scatter_planes(md, fp)
         rhs = tuple(jnp.where(f, b, fr - q)
                     for f, b, fr, q in zip(fixT, bcT, frcT, neg))
-        start = du_bc if x0 is None else tuple(
-            jnp.where(f, b, x) for f, b, x in zip(fixT, bcT, _split(x0)))
+        start = tuple(jnp.where(f, b, x)
+                      for f, b, x in zip(fixT, bcT, _split(x0)))
         levels = mg.build_hierarchy(md, elstiff)
         duT, res, it = mg.mg_cg_solve(levels, rhs, start, tol=cg_tol,
                                       maxiter=min(cg_maxiter, 100))
@@ -715,13 +739,14 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
     du_bc = jnp.where(md.fixed, bc_val, 0.)
     vm = gather_element(md, du_bc)
     fe = jnp.einsum('eij,ej->ei', Ke, vm, preferred_element_type=dtype)
-    rhs = -scatter_element(md, fe)
-    if force is not None:
-        rhs = rhs + force
+    rhs = -scatter_element(md, fe) + force
     rhs = jnp.where(md.fixed, bc_val, rhs)
-    start = jnp.where(md.fixed, bc_val, 0. if x0 is None else x0)
+    start = jnp.where(md.fixed, bc_val, x0)
     return cg_solve(lambda v: k_apply(md, Ke, v), rhs, start, k_diag(md, Ke),
                     tol=cg_tol, maxiter=cg_maxiter)
+
+
+solve_linear.clear_cache = _solve_linear_jit.clear_cache
 
 
 @partial(jax.jit, static_argnums=(5, 6))
