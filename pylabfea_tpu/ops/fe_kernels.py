@@ -14,6 +14,7 @@ Python per-element objects — so 10^6-element models are cheap to construct.
 The multi-device variant (elements sharded over a ``jax.sharding.Mesh``)
 lives in ``pylabfea_tpu.parallel.sharded``.
 """
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -368,16 +369,48 @@ def element_stiffness_planes(md: MeshData, elstiff):
     return Ke.reshape(8, 8, NX, NY)
 
 
+#: tri-state switch for the fused Pallas stencil K-apply: None = auto
+#: (float32 structured grids with NX >= 128 on TPU), True/False = forced
+USE_STENCIL = None
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu():
+    return jax.default_backend() == 'tpu'
+
+
+def _stencil_ok(md, Kp):
+    if USE_STENCIL is False:
+        return False
+    if Kp.dtype != jnp.float32 or md.grid is None:
+        return False
+    from pylabfea_tpu.ops import stencil_pallas as sp
+    NX, NY = md.grid[:2]
+    if NX < 128 or sp.auto_tile(NX, NY) == 0:
+        return False
+    return True if USE_STENCIL else _on_tpu()
+
+
 def k_apply_t(md: MeshData, Kp, v, fixed):
     """Matrix-free K @ v on plane TUPLES with identity rows on fixed dofs
     (the fast path used inside the grid solvers).  Measured 8x faster than
     the interleaved-dof rows formulation on TPU v5e (0.48 vs 3.9 ms at
     512^2); the tuple form additionally avoids XLA's (2, 128)-tiled loop
-    carries (see ``_split``)."""
+    carries (see ``_split``).
+
+    On TPU, float32 fine-grid applies route through the fused Pallas
+    stencil kernel (``ops.stencil_pallas``): 0.36 ms vs 1.0 ms per apply
+    at 1024^2 on v5e — at the single-pass HBM bound for the 256 MB
+    stiffness-plane read (1.44 ms at 2048^2, exactly 4x the bytes)."""
     vm = tuple(jnp.where(f, 0., x) for f, x in zip(fixed, v))
-    up = _gather_planes(md, vm)
-    fp = _contract_planes(Kp, up)
-    out = _scatter_planes(md, fp)
+    if _stencil_ok(md, Kp):
+        from pylabfea_tpu.ops import stencil_pallas as sp
+        NX, NY = md.grid[:2]
+        out = sp.k_apply_stencil(Kp, vm[0], vm[1], TX=sp.auto_tile(NX, NY))
+    else:
+        up = _gather_planes(md, vm)
+        fp = _contract_planes(Kp, up)
+        out = _scatter_planes(md, fp)
     return tuple(jnp.where(f, x, o) for f, x, o in zip(fixed, v, out))
 
 
@@ -705,36 +738,52 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
         force = jnp.zeros_like(bc_val)
     if x0 is None:
         x0 = jnp.zeros_like(bc_val)
-    return _solve_linear_jit(md, elstiff, bc_val, force, float(cg_tol),
+    if md.grid is not None:
+        # two jitted programs: the multigrid hierarchy is built in its own
+        # program and its per-level stiffness planes cross the jit boundary
+        # as ARGUMENTS of the solve program.  This pins them to default
+        # layouts — the Pallas stencil K-apply is a custom call with
+        # default-layout operand constraints, and when the Galerkin
+        # coarsening lived inside the solve program XLA inserted a
+        # full-size relayout copy of the fine planes before every stencil
+        # call in the CG while-loop (measured +37 ms/iteration at 1024^2)
+        kes = _hier_kes_jit(md, elstiff)
+        return _mg_solve_jit(md, kes, bc_val, force, float(cg_tol),
                              int(cg_maxiter), x0)
+    return _cg_flat_jit(md, elstiff, bc_val, force, float(cg_tol),
+                        int(cg_maxiter), x0)
+
+
+@jax.jit
+def _hier_kes_jit(md: MeshData, elstiff):
+    from pylabfea_tpu.ops import multigrid as mg
+    return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff))
 
 
 @partial(jax.jit, static_argnums=(4, 5))
-def _solve_linear_jit(md: MeshData, elstiff, bc_val, force, cg_tol,
-                      cg_maxiter, x0):
-    """Jitted body of :func:`solve_linear` (single trace: the wrapper
-    resolves the optional force/x0 to zero arrays, which are exact
-    no-ops in this formulation).  ``solve_linear.clear_cache`` drops the
-    compiled traces (needed when module-level switches like
-    ``multigrid.SMOOTHER`` change the traced program)."""
+def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
     from pylabfea_tpu.ops import multigrid as mg
+    levels = mg.levels_from_kes(md, kes)
+    Kp = kes[0]
+    fixT = _split(md.fixed)
+    bcT = _split(bc_val)
+    frcT = _split(force)
+    du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
+    fp = _contract_planes(Kp, _gather_planes(md, du_bc))
+    neg = _scatter_planes(md, fp)
+    rhs = tuple(jnp.where(f, b, fr - q)
+                for f, b, fr, q in zip(fixT, bcT, frcT, neg))
+    start = tuple(jnp.where(f, b, x)
+                  for f, b, x in zip(fixT, bcT, _split(x0)))
+    duT, res, it = mg.mg_cg_solve(levels, rhs, start, tol=cg_tol,
+                                  maxiter=min(cg_maxiter, 100))
+    return _merge(duT), res, it
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _cg_flat_jit(md: MeshData, elstiff, bc_val, force, cg_tol, cg_maxiter,
+                 x0):
     dtype = elstiff.dtype
-    if md.grid is not None:
-        Kp = element_stiffness_planes(md, elstiff)
-        fixT = _split(md.fixed)
-        bcT = _split(bc_val)
-        frcT = _split(force)
-        du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
-        fp = _contract_planes(Kp, _gather_planes(md, du_bc))
-        neg = _scatter_planes(md, fp)
-        rhs = tuple(jnp.where(f, b, fr - q)
-                    for f, b, fr, q in zip(fixT, bcT, frcT, neg))
-        start = tuple(jnp.where(f, b, x)
-                      for f, b, x in zip(fixT, bcT, _split(x0)))
-        levels = mg.build_hierarchy(md, elstiff)
-        duT, res, it = mg.mg_cg_solve(levels, rhs, start, tol=cg_tol,
-                                      maxiter=min(cg_maxiter, 100))
-        return _merge(duT), res, it
     Ke = element_stiffness(md, elstiff)
     du_bc = jnp.where(md.fixed, bc_val, 0.)
     vm = gather_element(md, du_bc)
@@ -746,7 +795,15 @@ def _solve_linear_jit(md: MeshData, elstiff, bc_val, force, cg_tol,
                     tol=cg_tol, maxiter=cg_maxiter)
 
 
-solve_linear.clear_cache = _solve_linear_jit.clear_cache
+def _clear_solve_caches():
+    """Drop compiled solve traces (needed when module-level switches like
+    ``multigrid.SMOOTHER`` or ``USE_STENCIL`` change the traced program)."""
+    _hier_kes_jit.clear_cache()
+    _mg_solve_jit.clear_cache()
+    _cg_flat_jit.clear_cache()
+
+
+solve_linear.clear_cache = _clear_solve_caches
 
 
 @partial(jax.jit, static_argnums=(5, 6))

@@ -164,28 +164,7 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
     cur_md = md
     Ke = fek.element_stiffness_planes(md, elstiff)
     while True:
-        fixT = fek._split(cur_md.fixed)
-        diag = fek.k_diag_t(cur_md, Ke, fixT)
-        lmax = None
-        if SMOOTHER == 'chebyshev':
-            # power iteration for lambda_max(D^-1 K); deterministic start
-            nnX, nnY = cur_md.grid[0] + 1, cur_md.grid[1] + 1
-            i = jnp.arange(nnX * nnY, dtype=Ke.dtype).reshape(nnX, nnY)
-            v = tuple(jnp.sin(i * (0.37 + 0.11 * c)) + 0.01
-                      for c in range(2))
-            minv = tuple(1. / d for d in diag)
-
-            def pw(_, v):
-                w = fek.k_apply_t(cur_md, Ke, v, fixT)
-                w = tuple(m * x for m, x in zip(minv, w))
-                nrm = jnp.maximum(fek._norm(w), 1e-30)
-                return tuple(x / nrm for x in w)
-
-            v = jax.lax.fori_loop(0, 10, pw, v)
-            Av = fek.k_apply_t(cur_md, Ke, v, fixT)
-            Av = tuple(m * x for m, x in zip(minv, Av))
-            lmax = fek._dot(v, Av) / jnp.maximum(fek._dot(v, v), 1e-30)
-        levels.append(MGLevel(cur_md, Ke, diag, fixT, lmax))
+        levels.append(_make_level(cur_md, Ke))
         NX, NY = _grid_of(cur_md)
         if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
             break
@@ -194,6 +173,57 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
         Ke = galerkin_coarsen_Ke(Ke)
         cur_md = coarsen_mesh(cur_md)
     return levels
+
+
+def hierarchy_kes(levels):
+    """The per-level element-stiffness planes — the only arrays a level
+    holds that are expensive to recompute.  Passing these ACROSS a jit
+    boundary (instead of building the hierarchy inside the solve program)
+    pins them to default layouts: the Pallas stencil K-apply is a custom
+    call with default-layout operand constraints, and an in-program
+    Galerkin einsum output may get a non-default layout — XLA then
+    inserts a full-size relayout copy of the fine-level planes before
+    EVERY stencil call inside the CG while-loop (measured +37 ms per
+    preconditioned iteration at 1024^2)."""
+    return tuple(l.Ke for l in levels)
+
+
+def levels_from_kes(md: fek.MeshData, kes):
+    """Rebuild the level list from per-level stiffness planes (masks and
+    Jacobi diagonals are cheap and recomputed in-trace)."""
+    levels = []
+    cur_md = md
+    for i, Ke in enumerate(kes):
+        levels.append(_make_level(cur_md, Ke))
+        if i + 1 < len(kes):
+            cur_md = coarsen_mesh(cur_md)
+    return levels
+
+
+def _make_level(cur_md, Ke):
+    """MGLevel from mesh metadata + element-stiffness planes."""
+    fixT = fek._split(cur_md.fixed)
+    diag = fek.k_diag_t(cur_md, Ke, fixT)
+    lmax = None
+    if SMOOTHER == 'chebyshev':
+        # power iteration for lambda_max(D^-1 K); deterministic start
+        nnX, nnY = cur_md.grid[0] + 1, cur_md.grid[1] + 1
+        i = jnp.arange(nnX * nnY, dtype=Ke.dtype).reshape(nnX, nnY)
+        v = tuple(jnp.sin(i * (0.37 + 0.11 * c)) + 0.01
+                  for c in range(2))
+        minv = tuple(1. / d for d in diag)
+
+        def pw(_, v):
+            w = fek.k_apply_t(cur_md, Ke, v, fixT)
+            w = tuple(m * x for m, x in zip(minv, w))
+            nrm = jnp.maximum(fek._norm(w), 1e-30)
+            return tuple(x / nrm for x in w)
+
+        v = jax.lax.fori_loop(0, 10, pw, v)
+        Av = fek.k_apply_t(cur_md, Ke, v, fixT)
+        Av = tuple(m * x for m, x in zip(minv, Av))
+        lmax = fek._dot(v, Av) / jnp.maximum(fek._dot(v, v), 1e-30)
+    return MGLevel(cur_md, Ke, diag, fixT, lmax)
 
 
 def _smooth(level: MGLevel, x, b, nu, omega=0.7):
@@ -256,12 +286,18 @@ def v_cycle(levels, b, lvl=0, nu=2):
     return _smooth(level, x, b, nu)
 
 
-def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200):
+def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
     """CG with a V-cycle preconditioner on the finest level.
 
     The loop is arranged so the (large) V-cycle subprogram is instantiated
     exactly once in the compiled program — XLA compile time of the deep
     multigrid hierarchy is the binding constraint, not FLOPs.
+
+    ``nu``: pre/post smoothing sweeps per level.  Measured on the 1024^2
+    production (developed-plastic) tangent field, cold solve to 1e-6 on
+    TPU v5e: nu=1 -> 16 iters / 187 ms, nu=2 -> 11 / 150, nu=3 -> 9 /
+    138.  nu=2 stays the default: warm-started production solves run few
+    iterations, where the extra per-iteration sweeps of nu=3 buy little.
     """
     level = levels[0]
     fix = level.fixed
@@ -277,7 +313,7 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200):
 
     def body(s):
         x, r, p, rz_prev, it = s
-        z = v_cycle(levels, r)
+        z = v_cycle(levels, r, nu=nu)
         rz = fek._dot(r, z)
         beta = jnp.where(it == 0, 0., rz / rz_prev)
         p = fek._axpy(beta, p, z)

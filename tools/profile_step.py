@@ -19,13 +19,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force completion: on the tunnel-attached axon platform
+    ``block_until_ready`` does not reliably await remote execution, so
+    read one scalar back to the host."""
+    leaf = [x for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, 'ndim')][0]
+    float(jnp.asarray(leaf).ravel()[0])
+
+
 def timed(label, fn, *args, reps=3, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
     print(f'{label:42s} {dt * 1e3:9.1f} ms')
     return out, dt
