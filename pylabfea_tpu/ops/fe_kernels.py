@@ -828,9 +828,36 @@ def _respond_and_update(md: MeshData, state: SolverState, mat, CV, du,
     return fy, sig_n, depl_n, elstiff, deps, dst.max()
 
 
+_GATE_SCALE_CACHE = {}
+
+
+def _gate_scale(md: MeshData, mat):
+    """Per-element normalization of the yield excess for the convergence
+    gate: 1 for SVC groups (dimensionless decision values), the yield
+    strength for analytic groups (f = seq - sflow in stress units).
+    Cached per (mesh id, material id)."""
+    key = (id(md.perm), id(mat))
+    hit = _GATE_SCALE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # NOTE: DeviceMaterial is itself a NamedTuple — test for it first
+    mats = [mat] if isinstance(mat, con.DeviceMaterial) else list(mat)
+    scale = np.ones(md.nel)
+    if md.groups is not None and len(mats) > 1:
+        perm = np.asarray(md.perm)
+        for (start, size), m in zip(md.groups, mats):
+            if not m.is_svc:
+                scale[perm[start:start + size]] = float(m.sy)
+    elif not mats[0].is_svc:
+        scale[:] = float(mats[0].sy)
+    out = jnp.asarray(scale, md.B.dtype)
+    _GATE_SCALE_CACHE[key] = out
+    return out
+
+
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
-                    nsub=4, du0=None):
+                    nsub=4, du0=None, gate=False, max_inner=15):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -839,12 +866,23 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
 
     ``du0`` warm-starts the first solve (pass the previous step's ``du``
     from ``diag['du']`` when load fractions are equal — cuts the
-    developed-plastic CG cost several-fold)."""
+    developed-plastic CG cost several-fold).
+
+    ``gate=True`` replaces the fixed ``n_inner`` count with the
+    reference's equilibrium-loop exit test (model.py:1305 ``while
+    (change or not conv)``): iterate until the yield excess is inside
+    tolerance AND the tangent field stopped changing, up to
+    ``max_inner`` iterations.  Costs one scalar device sync per inner
+    iteration; saves whole solve+response rounds on elastic or
+    nearly-converged steps.  ``n_inner`` still sets the MINIMUM
+    iteration count (>= 1 solve+response always runs)."""
+    from pylabfea_tpu.core.tensors import yf_tolerance
     bc_val = md.fixed_val * load_frac
     force = md.force * load_frac
     elstiff = state.elstiff
     du = du0
-    for _ in range(n_inner + 1):
+    count = (max_inner if gate else n_inner) + 1
+    for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
         du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
@@ -852,6 +890,14 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
         st = state._replace(elstiff=elstiff)
         fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
             md, st, mat, CV, du, fast, nsub)
+        if gate and i >= min(n_inner, count - 1):
+            # host convergence test: normalized yield excess (SVC decision
+            # values are dimensionless; analytic f carries stress units,
+            # scaled per element group by the yield strength —
+            # conservative under hardening)
+            fmax = float(jnp.max(fy / _gate_scale(md, mat)))
+            if fmax <= yf_tolerance * 1.0001 and float(dst) <= 1.e-3:
+                break
     new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
                       eps=state.eps + deps, elstiff=elstiff)
     diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,
@@ -864,11 +910,14 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
 
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=None,
-                   cg_maxiter=2000, fast=True, nsub=4, split=True):
+                   cg_maxiter=2000, fast=True, nsub=4, split=True,
+                   gate=False):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
     increments; returns (final state, per-step global stress/strain).
     ``split=True`` (default) uses the split-program step — fast compiles
-    and robust at large mesh sizes."""
+    and robust at large mesh sizes.  ``gate=True`` replaces the fixed
+    inner count with the reference's equilibrium-convergence exit test
+    (see ``load_step_split``)."""
     state = init_state(md, CV, dtype=dtype)
     hist = []
     du0 = None
@@ -877,7 +926,7 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
             state, diag = load_step_split(
                 md, state, mat, CV, 1. / nsteps, n_inner=n_inner,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter, fast=fast, nsub=nsub,
-                du0=du0)
+                du0=du0, gate=gate)
             du0 = diag['du']  # equal fractions: previous du ~ next du
         else:
             state, diag = load_step(md, state, mat, CV, 1. / nsteps,

@@ -354,3 +354,26 @@ def test_warm_start_recycles_plastic_krylov(hill_mat):
     # plasticity actually developed
     peeq = np.asarray(jnp.linalg.norm(st.epl, axis=1))
     assert (peeq > 1e-6).mean() > 0.5
+
+
+def test_load_step_split_gate_matches_fully_iterated(hill_mat):
+    """The convergence-gated inner loop (reference model.py:1305 exit
+    test: yield excess inside tolerance AND no tangent update) must
+    reproduce a fully-iterated fixed-count stepper — it stops exactly
+    when further rounds are no-ops, so the states agree to round-off —
+    while spending only as many rounds as the step needs."""
+    dm = con.device_material_from(hill_mat, dtype=jnp.float64)
+    CV = jnp.asarray(hill_mat.CV)
+    md = fek.rect_mesh(16, 16, LX=1., LY=1., uniax='y', eps_tot=0.004,
+                       dtype=jnp.float64)
+    st_f = fek.init_state(md, CV, dtype=jnp.float64)
+    st_g = fek.init_state(md, CV, dtype=jnp.float64)
+    for _ in range(4):
+        st_f, d_f = fek.load_step_split(md, st_f, dm, CV, 0.25, n_inner=12)
+        st_g, d_g = fek.load_step_split(md, st_g, dm, CV, 0.25, n_inner=0,
+                                        gate=True)
+    np.testing.assert_allclose(np.asarray(st_g.sig), np.asarray(st_f.sig),
+                               atol=1e-8 * float(hill_mat.sy))
+    from pylabfea_tpu.core.tensors import yf_tolerance
+    assert float(d_g['fy_max']) <= yf_tolerance * 1.0001 * hill_mat.sy
+    assert float(d_g['dstiff']) <= 1.e-3
