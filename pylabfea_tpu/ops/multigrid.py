@@ -148,7 +148,9 @@ SMOOTHER = 'jacobi'
 class MGLevel:
     """One level of the hierarchy: mesh data + assembled element stiffness
     (planes layout) + Jacobi diagonal, BC mask (plane tuples) and an
-    estimate of the largest eigenvalue of D^-1 K (Chebyshev smoother)."""
+    estimate of the largest eigenvalue of D^-1 K (Chebyshev smoother).
+    The coarsest level additionally carries the dense inverse of its
+    operator (``kc_inv``) for an exact bottom solve."""
 
     def __init__(self, md, Ke, diag, fixed, lmax=None):
         self.md = md
@@ -156,6 +158,41 @@ class MGLevel:
         self.diag = diag
         self.fixed = fixed
         self.lmax = lmax
+        self.kc_inv = None
+
+
+#: exact dense bottom solve when the coarsest level has at most this many
+#: dofs (min_size=8 -> 162); replaces 8*nu latency-bound smoothing sweeps
+#: of tiny grids with one matvec AND upgrades the coarse correction to
+#: exact, keeping the V-cycle a valid SPD preconditioner
+COARSE_DENSE_MAX = 700
+
+
+def _dense_coarse_inv(level: MGLevel):
+    """Dense inverse of the coarsest-level operator (identity rows on
+    fixed dofs, symmetric: inputs are masked and outputs pass fixed
+    values through, so K_dense = P K P^T + I_f)."""
+    md = level.md
+    nnX, nnY = md.grid[0] + 1, md.grid[1] + 1
+    n = 2 * nnX * nnY
+    eye = jnp.eye(n, dtype=level.Ke.dtype)
+
+    def apply_vec(e):
+        v = (e[:nnX * nnY].reshape(nnX, nnY),
+             e[nnX * nnY:].reshape(nnX, nnY))
+        o = fek.k_apply_t(md, level.Ke, v, level.fixed)
+        return jnp.concatenate([o[0].ravel(), o[1].ravel()])
+
+    K = jax.vmap(apply_vec)(eye)
+    return jnp.linalg.inv(K)
+
+
+def _attach_coarse_inv(levels):
+    bot = levels[-1]
+    nnX, nnY = bot.md.grid[0] + 1, bot.md.grid[1] + 1
+    if 2 * nnX * nnY <= COARSE_DENSE_MAX:
+        bot.kc_inv = _dense_coarse_inv(bot)
+    return levels
 
 
 def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
@@ -172,7 +209,7 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
         # BC masks / grid metadata (same generator as the fine level)
         Ke = galerkin_coarsen_Ke(Ke)
         cur_md = coarsen_mesh(cur_md)
-    return levels
+    return _attach_coarse_inv(levels)
 
 
 def hierarchy_kes(levels):
@@ -197,7 +234,7 @@ def levels_from_kes(md: fek.MeshData, kes):
         levels.append(_make_level(cur_md, Ke))
         if i + 1 < len(kes):
             cur_md = coarsen_mesh(cur_md)
-    return levels
+    return _attach_coarse_inv(levels)
 
 
 def _make_level(cur_md, Ke):
@@ -272,6 +309,14 @@ def v_cycle(levels, b, lvl=0, nu=2):
     b = tuple(jnp.where(f, 0., bi) for f, bi in zip(fix, b))
     zero = tuple(jnp.zeros_like(bi) for bi in b)
     if lvl == len(levels) - 1:
+        if level.kc_inv is not None:
+            # exact bottom solve: one dense matvec instead of 8*nu
+            # latency-bound sweeps of a tiny grid
+            nnX, nnY = (level.md.grid[0] + 1, level.md.grid[1] + 1)
+            bflat = jnp.concatenate([b[0].ravel(), b[1].ravel()])
+            x = level.kc_inv @ bflat
+            m = nnX * nnY
+            return (x[:m].reshape(nnX, nnY), x[m:].reshape(nnX, nnY))
         return _smooth(level, zero, b, 8 * nu)
     x = _smooth(level, zero, b, nu)
     Kx = fek.k_apply_t(level.md, level.Ke, x, fix)
