@@ -492,6 +492,17 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                          for f, x in zip(fixed, d))
         return dcalc(el_blocks, sm.fixed)
 
+    # Build the Schwarz preconditioner ONCE per load step from the entry
+    # tangent field: the coarse inverse (dense jnp.linalg.inv of the
+    # strip-spanning coarse operator) was previously rebuilt inside every
+    # inner-iteration solve although a frozen preconditioner stays SPD and
+    # nearly as effective — the local V-cycle still sees the CURRENT
+    # tangents through its call-time el_blocks argument.
+    pre = None
+    if schwarz:
+        pre = make_schwarz_two_level(sm, elstiff_blocks) if schwarz == 2 \
+            else make_schwarz_mg(sm, elstiff_blocks)
+
     def solve_with(el_blocks, x0=None):
         k_apply = make_k_apply(sm)
         du_bc = tuple(jnp.where(f, b, 0.)
@@ -502,12 +513,7 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     for f, b, fr, q in zip(sm.fixed, bc, sm.force, neg))
         diag = diag_of(el_blocks)
         M = None
-        if schwarz:
-            # schwarz=2 adds the strip-spanning coarse correction
-            if schwarz == 2:
-                pre = make_schwarz_two_level(sm, el_blocks)
-            else:
-                pre = make_schwarz_mg(sm, el_blocks)
+        if pre is not None:
             M = lambda r: pre(r, el_blocks, sm.fixed, diag)
         # warm-start from the previous equilibrium iteration's increment
         # (recycled Krylov; BC rows overwritten with the prescribed values)
