@@ -31,6 +31,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(out):
+    """Force completion of everything queued before reading the clock:
+    on the tunnel-attached platform ``jax.block_until_ready`` does not
+    reliably await remote execution (BENCH_NOTES.md 'Timing method'), so
+    read one scalar of the last output back to the host — device queues
+    execute in order, so this awaits the whole chain."""
+    leaf = [x for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, 'ndim')][0]
+    float(jnp.asarray(leaf).ravel()[0])
+
+
 def flagship(dtype, nsv=512, sy=150.):
     from pylabfea_tpu.ops.constitutive import DeviceMaterial
     rng = np.random.default_rng(0)
@@ -92,12 +103,12 @@ def main():
 
     step = jax.jit(lambda s, e, d: con.response_fast(dm, (s, e), d, CV, 12))
     out = step(sig, epl, deps)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         out = step(sig, epl, deps)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     thr = N / dt
     log(f'device return-map: {N} points in {dt * 1e3:.1f} ms '
@@ -130,13 +141,13 @@ def main():
                                eps_tot=0.002, dtype=dtype)
             st = fek.init_state(md, CV, dtype=dtype)
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
-            jax.block_until_ready(st.sig)
+            sync(st.sig)
             # timed step in the production configuration: warm-started
             # from the previous increment (equal fractions)
             t0 = time.perf_counter()
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
                                         du0=d['du'])
-            jax.block_until_ready(st.sig)
+            sync(st.sig)
             dt_fe = time.perf_counter() - t0
             log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
                 f'{int(d["cg_iters"])} iters, res {float(d["cg_res"]):.1e}): '
