@@ -110,12 +110,16 @@ def auto_tile(NX, NY):
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=('TX', 'interpret'))
-def k_apply_stencil(Kp, u0, u1, TX=16, interpret=False):
+@functools.partial(jax.jit, static_argnames=('TX', 'interpret', 'vma'))
+def k_apply_stencil(Kp, u0, u1, TX=16, interpret=False, vma=None):
     """out = K @ u on a structured grid (no BC masking — callers pre-mask).
 
     Kp (8, 8, NX, NY) float32 element-stiffness planes; u0/u1 (nnX, nnY)
     displacement-component planes.  Returns (out0, out1) (nnX, nnY).
+
+    ``vma``: set to the mesh-axis tuple (e.g. ``('x',)``) when calling
+    from inside ``shard_map`` — its varying-mesh-axes check requires the
+    pallas output avals to declare how they vary.
     """
     NX, NY = Kp.shape[2], Kp.shape[3]
     nnY = NY + 1
@@ -133,9 +137,11 @@ def k_apply_stencil(Kp, u0, u1, TX=16, interpret=False):
     with jax.enable_x64(False):
         o0, o1, co = pl.pallas_call(
             functools.partial(_kapply_kernel, TX=TX, NY=NY),
-            out_shape=(jax.ShapeDtypeStruct((NX, nnY), jnp.float32),
-                       jax.ShapeDtypeStruct((NX, nnY), jnp.float32),
-                       jax.ShapeDtypeStruct((8, nnY), jnp.float32)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(s, jnp.float32,
+                                     **({'vma': frozenset(vma)}
+                                        if vma else {}))
+                for s in ((NX, nnY), (NX, nnY), (8, nnY))),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((64, TX, NY), lambda i: (0, i, 0), **mem),

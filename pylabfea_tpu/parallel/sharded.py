@@ -183,6 +183,26 @@ def _contract(Kp, up):
     return tuple(sum(Kp[i, j] * up[j] for j in range(8)) for i in range(8))
 
 
+def _local_apply(Kp, vm, NXd, NY, nnY):
+    """Strip-local K @ vm (no BC rows, no halo): the per-strip block has
+    the same element/node structure as a single-chip grid, so the fused
+    Pallas stencil kernel applies per strip when the shapes admit it —
+    shard_map composes with pallas_call, each device runs the kernel on
+    its own (NXd, NY) block at the single-pass HBM bound."""
+    from pylabfea_tpu.ops import fe_kernels as fek
+    from pylabfea_tpu.ops import stencil_pallas as sp
+    if (fek.USE_STENCIL is not False and Kp.dtype == jnp.float32
+            and NXd >= 128 and sp.auto_tile(NXd, NY) > 0
+            and (fek.USE_STENCIL or fek._on_tpu())):
+        # forced-on off TPU (tests) runs the kernel interpreter
+        return sp.k_apply_stencil(Kp, vm[0], vm[1],
+                                  TX=sp.auto_tile(NXd, NY),
+                                  interpret=not fek._on_tpu(),
+                                  vma=('x',))
+    fp = _contract(Kp, _gather_local(vm, NXd, NY))
+    return _scatter_local(fp, NXd, NY, nnY)
+
+
 def element_Ke_planes(sm: StripMesh, el_loc):
     """Local element stiffness planes (8, 8, NXd, NY) from the local tangent
     blocks (nel_loc, 6, 6) — same static (64, 36) MXU contraction as the
@@ -203,16 +223,18 @@ def make_k_apply(sm: StripMesh):
     element stiffness a (D, nel_loc, 6, 6) tangent block array."""
     NXd, NY, nnY = sm.NXd, sm.NY, sm.nnY
 
+    # check_vma=False: the Pallas stencil's scratch-ref stores discharge to
+    # dynamic_update_slice in interpreter mode, which the varying-mesh-axes
+    # checker cannot type (the workaround its error message recommends)
     @partial(shard_map, mesh=sm.mesh,
              in_specs=(P('x'), (P('x'), P('x')), (P('x'), P('x'))),
-             out_specs=(P('x'), P('x')))
+             out_specs=(P('x'), P('x')), check_vma=False)
     def k_apply(el_loc, v_loc, fixed_loc):
         Kp = element_Ke_planes(sm, el_loc[0])
         v = tuple(x[0] for x in v_loc)
         fixed = tuple(f[0] for f in fixed_loc)
         vm = tuple(jnp.where(f, 0., x) for f, x in zip(fixed, v))
-        fp = _contract(Kp, _gather_local(vm, NXd, NY))
-        out = _scatter_local(fp, NXd, NY, nnY)
+        out = _local_apply(Kp, vm, NXd, NY, nnY)
         out = _halo_accumulate(out)
         out = tuple(jnp.where(f, x, o) for f, x, o in zip(fixed, v, out))
         return tuple(o[None] for o in out)

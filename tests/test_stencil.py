@@ -69,3 +69,37 @@ def test_auto_tile_vmem_budget():
     assert auto_tile(2048, 2048) == 8
     assert auto_tile(4096, 4096) == 0          # falls back to XLA
     assert auto_tile(18, 18) == 0              # NX not divisible by tile
+
+
+def test_stencil_composes_with_shard_map():
+    """The per-strip local apply routes through the Pallas kernel when
+    forced on (interpreter off-TPU): the strip CG K-apply with halo
+    exchange must match the XLA formulation on the 8-device mesh."""
+    from pylabfea_tpu.parallel import sharded as sh
+    if len(jax.devices()) < 2:
+        pytest.skip('needs the virtual multi-device mesh')
+    rng = np.random.default_rng(2)
+    NX, NY = 1024, 16    # NXd = 1024/8 = 128: smallest strip the gate takes
+    sm = sh.StripMesh(NX, NY, dtype=jnp.float32)
+    el = np.broadcast_to(np.asarray(_elastic_cv(), np.float32),
+                         (NX * NY, 6, 6))
+    el_b = sm.shard_elements(el)
+    v0 = rng.normal(size=(sm.D, sm.NXd + 1, sm.nnY)).astype(np.float32)
+    v1 = rng.normal(size=(sm.D, sm.NXd + 1, sm.nnY)).astype(np.float32)
+    # duplicated halo columns must hold consistent values
+    for v in (v0, v1):
+        v[1:, 0] = v[:-1, -1]
+    vt = (jnp.asarray(v0), jnp.asarray(v1))
+    k_apply = sh.make_k_apply(sm)
+    ref = k_apply(el_b, vt, sm.fixed)
+    from pylabfea_tpu.ops import fe_kernels as fek
+    old = fek.USE_STENCIL
+    try:
+        fek.USE_STENCIL = True   # forced on -> interpreter off-TPU
+        out = k_apply(el_b, vt, sm.fixed)
+    finally:
+        fek.USE_STENCIL = old
+    for o, r in zip(out, ref):
+        scale = float(jnp.abs(r).max())
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=3e-6 * max(scale, 1.))
