@@ -882,11 +882,26 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     elstiff = state.elstiff
     du = du0
     count = (max_inner if gate else n_inner) + 1
+    kes = None
     for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
-        du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
-                                         cg_tol, cg_maxiter, x0=du)
+        if md.grid is not None:
+            # the tangent update only replaces element stiffnesses whose
+            # change exceeds 1e-3, so dst <= 1e-3 means elstiff is
+            # UNCHANGED and the multigrid hierarchy (Galerkin coarsening,
+            # ~20 ms at 1024^2) can be reused verbatim
+            if kes is None or float(dst) > 1.e-3:
+                kes = _hier_kes_jit(md, elstiff)
+            tol = cg_tol if cg_tol is not None else (
+                1.e-8 if elstiff.dtype == jnp.float64 else 1.e-6)
+            x0 = jnp.zeros_like(bc_val) if du is None else du
+            du, cg_res, cg_it = _mg_solve_jit(md, kes, bc_val, force,
+                                              float(tol), int(cg_maxiter),
+                                              x0)
+        else:
+            du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
+                                             cg_tol, cg_maxiter, x0=du)
         st = state._replace(elstiff=elstiff)
         fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
             md, st, mat, CV, du, fast, nsub)
