@@ -401,11 +401,13 @@ def _write_back(model, md, state, sgl, egl, epgl):
 
 
 def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
-                    nsub=4, fast=True):
+                    nsub=4, fast=True, cg_tol=None):
     """Solve the (supported subset of) host model with the device solver and
     write displacements, element states and global history back.
     ``fast=False`` selects the reference-faithful substepped return map
-    instead of the cutting-plane projection (tighter host parity)."""
+    instead of the cutting-plane projection (tighter host parity);
+    ``cg_tol`` overrides the linear-solve tolerance (default 1e-8 for
+    float64, 1e-6 for float32)."""
     md, dm, CV = to_device(model, dtype=dtype)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
@@ -415,7 +417,8 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     for _ in range(nsteps):
         state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
                                           n_inner=n_inner, nsub=nsub,
-                                          fast=fast, du0=du0)
+                                          fast=fast, du0=du0,
+                                          cg_tol=cg_tol)
         du0 = diag['du']
         sgl.append(np.asarray(diag['glob_sig'], dtype=float))
         egl.append(np.asarray(diag['glob_eps'], dtype=float))

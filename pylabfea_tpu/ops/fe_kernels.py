@@ -626,7 +626,7 @@ def load_step(md: MeshData, state: SolverState, mat: con.DeviceMaterial,
         # and tight enough that the residual->error amplification of fine
         # meshes (error ~ ||r|| / lambda_min, lambda_min ~ E/N^2) stays
         # below the displacement signal
-        cg_tol = 1.e-8 if state.u.dtype == jnp.float64 else 1.e-6
+        cg_tol = 1.e-11 if state.u.dtype == jnp.float64 else 1.e-6
     bc_val = md.fixed_val * load_frac
     use_mg = md.grid is not None
 
@@ -731,7 +731,7 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
     Returns (du, res, iters)."""
     dtype = elstiff.dtype
     if cg_tol is None:
-        cg_tol = 1.e-8 if dtype == jnp.float64 else 1.e-6
+        cg_tol = 1.e-11 if dtype == jnp.float64 else 1.e-6
     # None -> zero arrays so a single jitted trace serves every call form
     # (zero force and zero x0 are exact no-ops in the formulation below)
     if force is None:
@@ -894,7 +894,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             if kes is None or float(dst) > 1.e-3:
                 kes = _hier_kes_jit(md, elstiff)
             tol = cg_tol if cg_tol is not None else (
-                1.e-8 if elstiff.dtype == jnp.float64 else 1.e-6)
+                1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)
             x0 = jnp.zeros_like(bc_val) if du is None else du
             du, cg_res, cg_it = _mg_solve_jit(md, kes, bc_val, force,
                                               float(tol), int(cg_maxiter),
