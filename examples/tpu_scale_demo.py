@@ -45,10 +45,14 @@ def main(NX=512, NY=512, nsteps=10):
                                         n_inner=2, cg_maxiter=500)
         else:
             # split-program mode: compiles in seconds even for deep
-            # multigrid hierarchies
-            state, diag = fek.load_step_split(md, state, mat, CV,
-                                              1. / nsteps, n_inner=2)
-        jax.block_until_ready(state.sig)
+            # multigrid hierarchies; warm-started from the previous
+            # increment, with the reference's convergence-gated
+            # equilibrium loop (iterates only as long as the step needs)
+            state, diag = fek.load_step_split(
+                md, state, mat, CV, 1. / nsteps, n_inner=1, gate=True,
+                du0=None if i == 0 else diag['du'])
+        # reading the diagnostics forces completion (device queues are
+        # in-order; block_until_ready alone does not await the tunnel)
         gs = np.asarray(diag['glob_sig'])
         print(f'step {i}: t={time.perf_counter() - t0:7.2f}s  '
               f'sig_yy={gs[1]:8.2f}  '
