@@ -835,11 +835,12 @@ def _gate_scale(md: MeshData, mat):
     """Per-element normalization of the yield excess for the convergence
     gate: 1 for SVC groups (dimensionless decision values), the yield
     strength for analytic groups (f = seq - sflow in stress units).
-    Cached per (mesh id, material id)."""
+    Cached per (mesh id, material id); the cache holds references to the
+    keyed objects so their ids cannot be recycled, and is size-capped."""
     key = (id(md.perm), id(mat))
     hit = _GATE_SCALE_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[2]
     # NOTE: DeviceMaterial is itself a NamedTuple — test for it first
     mats = [mat] if isinstance(mat, con.DeviceMaterial) else list(mat)
     scale = np.ones(md.nel)
@@ -851,7 +852,9 @@ def _gate_scale(md: MeshData, mat):
     elif not mats[0].is_svc:
         scale[:] = float(mats[0].sy)
     out = jnp.asarray(scale, md.B.dtype)
-    _GATE_SCALE_CACHE[key] = out
+    if len(_GATE_SCALE_CACHE) > 32:
+        _GATE_SCALE_CACHE.clear()
+    _GATE_SCALE_CACHE[key] = (md.perm, mat, out)
     return out
 
 
