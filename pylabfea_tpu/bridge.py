@@ -241,9 +241,24 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
         return np.asarray(planes, dtype=float).reshape(36, -1).T.reshape(
             -1, 6, 6)
 
-    def solve_inc(elstiff, dbcr, dbct, dbcn, x0=None):
+    # hierarchy reuse: when the preceding tangent update replaced nothing
+    # (``change`` False -> elstiff values bitwise unchanged), the multigrid
+    # hierarchy from the previous solve is identical and the Galerkin
+    # coarsening can be skipped
+    _kes = {'kes': None}
+
+    def solve_inc(elstiff, dbcr, dbct, dbcn, x0=None, reuse=False):
         bc_val, force = _bc_planes(model, dbcr, dbct, dbcn, dtype)
-        du, res, it = fek.solve_linear(md, elstiff, bc_val, force, x0=x0)
+        if md.grid is not None:
+            if not reuse or _kes['kes'] is None:
+                _kes['kes'] = fek._hier_kes_jit(md, elstiff)
+            tol = 1.e-11 if dtype == jnp.float64 else 1.e-6
+            x0 = jnp.zeros_like(bc_val) if x0 is None else x0
+            du, res, it = fek._mg_solve_jit(md, _kes['kes'], bc_val, force,
+                                            tol, 100, x0)
+        else:
+            du, res, it = fek.solve_linear(md, elstiff, bc_val, force,
+                                           x0=x0)
         return du
 
     # loading direction for ML yield-locus searches (host solve convention)
@@ -271,6 +286,7 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
     co_nconv = []
     nconv = 0
     bc_inc = True
+    tangent_changed = True
     while bc_inc:
         max_dbct = model.bct - bct0
         max_dbcr = model.bcr - bcr0
@@ -289,7 +305,8 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
             max_dbcn = dbcn = None
 
         elstiff = state.elstiff
-        du = solve_inc(elstiff, dbcr, dbct, dbcn)
+        du = solve_inc(elstiff, dbcr, dbct, dbcn,
+                       reuse=not tangent_changed)
         nit = 0
         if nonlin:
             if il < 10:
@@ -311,7 +328,8 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
                     if model.noset is not None:
                         dbcn = _halve_increment(dbcn, max_dbcn, model.bcn,
                                                 bcn0)
-                du = solve_inc(elstiff, dbcr, dbct, dbcn, x0=du)
+                du = solve_inc(elstiff, dbcr, dbct, dbcn, x0=du,
+                               reuse=not tangent_changed)
                 deps_d = fek.element_deps(md, du)
                 fy, res_sig, res_depl, grad = fek.respond_grouped(
                     md, dm if md.groups is not None else dm[0],
@@ -335,6 +353,7 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
                 new = gP if nit < 15 else 0.5 * (gP + elstiff)
                 elstiff = jnp.where(upd, new, elstiff)
                 change = bool(jnp.any(upd))
+                tangent_changed = change
                 nit += 1
         else:
             deps_d = fek.element_deps(md, du)
