@@ -369,9 +369,20 @@ def element_stiffness_planes(md: MeshData, elstiff):
     return Ke.reshape(8, 8, NX, NY)
 
 
-#: tri-state switch for the fused Pallas stencil K-apply: None = auto
-#: (float32 structured grids with NX >= 128 on TPU), True/False = forced
+#: tri-state switch for the fused Pallas stencil K-apply: True = on
+#: (float32 structured grids with NX >= 128 on TPU), False = off,
+#: None = currently OFF pending an unexplained in-context anomaly: the
+#: kernel runs at the HBM bound standalone and inside plain
+#: while/fori-loop programs (0.12-0.6 ms/apply at 1024^2, vs ~1.0 ms
+#: XLA), but inside the FULL multigrid V-cycle program each call costs
+#: ~6 ms (measured; not explained by operand layouts — pinned and
+#: verified identical — nor by shared-consumer or loop-context effects,
+#: which all reproduce fast in isolation).  See BENCH_NOTES.md.
 USE_STENCIL = None
+
+
+def _stencil_default_on():
+    return False
 
 
 @functools.lru_cache(maxsize=1)
@@ -388,7 +399,7 @@ def _stencil_ok(md, Kp):
     NX, NY = md.grid[:2]
     if NX < 128 or sp.auto_tile(NX, NY) == 0:
         return False
-    return True if USE_STENCIL else _on_tpu()
+    return True if USE_STENCIL else (_stencil_default_on() and _on_tpu())
 
 
 def k_apply_t(md: MeshData, Kp, v, fixed):
@@ -763,6 +774,19 @@ def _hier_kes_jit(md: MeshData, elstiff):
 @partial(jax.jit, static_argnums=(4, 5))
 def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
     from pylabfea_tpu.ops import multigrid as mg
+    if _stencil_ok(md, kes[0]):
+        # pin the stiffness planes to the default (row-major) layout ONCE:
+        # the Pallas stencil custom call constrains its operands to default
+        # layouts, and without the pin XLA may choose a different parameter
+        # layout and insert a full-size relayout copy of the planes before
+        # EVERY stencil call inside the CG while-loop (measured 53 ms per
+        # preconditioned iteration vs ~4 ms at 1024^2)
+        try:
+            from jax.experimental import layout as _jl
+            kes = tuple(_jl.with_layout_constraint(
+                k, _jl.Layout(tuple(range(k.ndim)))) for k in kes)
+        except Exception:  # pragma: no cover - layout API is experimental
+            pass
     levels = mg.levels_from_kes(md, kes)
     Kp = kes[0]
     fixT = _split(md.fixed)

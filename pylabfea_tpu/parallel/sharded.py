@@ -193,7 +193,8 @@ def _local_apply(Kp, vm, NXd, NY, nnY):
     from pylabfea_tpu.ops import stencil_pallas as sp
     if (fek.USE_STENCIL is not False and Kp.dtype == jnp.float32
             and NXd >= 128 and sp.auto_tile(NXd, NY) > 0
-            and (fek.USE_STENCIL or fek._on_tpu())):
+            and (fek.USE_STENCIL
+                 or (fek._stencil_default_on() and fek._on_tpu()))):
         # forced-on off TPU (tests) runs the kernel interpreter
         return sp.k_apply_stencil(Kp, vm[0], vm[1],
                                   TX=sp.auto_tile(NXd, NY),
