@@ -369,20 +369,16 @@ def element_stiffness_planes(md: MeshData, elstiff):
     return Ke.reshape(8, 8, NX, NY)
 
 
-#: tri-state switch for the fused Pallas stencil K-apply: True = on
-#: (float32 structured grids with NX >= 128 on TPU), False = off,
-#: None = currently OFF pending an unexplained in-context anomaly: the
-#: kernel runs at the HBM bound standalone and inside plain
-#: while/fori-loop programs (0.12-0.6 ms/apply at 1024^2, vs ~1.0 ms
-#: XLA), but inside the FULL multigrid V-cycle program each call costs
-#: ~6 ms (measured; not explained by operand layouts — pinned and
-#: verified identical — nor by shared-consumer or loop-context effects,
-#: which all reproduce fast in isolation).  See BENCH_NOTES.md.
+#: tri-state switch for the fused Pallas stencil K-apply: None = auto
+#: (float32 structured grids with NX >= 128 on TPU), True/False = forced.
+#: NOTE: on stencil levels the multigrid grid transfers run as matmuls —
+#: `conv_general_dilated` cohabiting with the custom call in one program
+#: cost ~4-5 ms per V-cycle level at 1024^2 (see BENCH_NOTES.md).
 USE_STENCIL = None
 
 
 def _stencil_default_on():
-    return False
+    return True
 
 
 @functools.lru_cache(maxsize=1)

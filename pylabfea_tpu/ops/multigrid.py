@@ -18,6 +18,7 @@ on every level (identity rows).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pylabfea_tpu.ops import fe_kernels as fek
 
@@ -138,6 +139,58 @@ def _prolong_plane(c, nnXf, nnYf):
 def prolong(coarse, nnXf, nnYf):
     """Bilinear prolongation on per-component plane tuples."""
     return tuple(_prolong_plane(p, nnXf, nnYf) for p in coarse)
+
+
+_RMAT_CACHE = {}
+
+
+def _restrict_mat(nn, dtype):
+    """(nc, nn) full-weighting rows [.., 0.5, 1, 0.5, ..] at stride 2 —
+    the separable factor of the 3x3 transfer kernel as a dense matrix."""
+    key = (nn, np.dtype(dtype).name)
+    hit = _RMAT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nc = nn // 2 + 1
+    W = np.zeros((nc, nn), dtype)
+    for I in range(nc):
+        j = 2 * I
+        W[I, j] = 1.
+        if j - 1 >= 0:
+            W[I, j - 1] = .5
+        if j + 1 < nn:
+            W[I, j + 1] = .5
+    out = jnp.asarray(W)
+    _RMAT_CACHE[key] = out
+    return out
+
+
+def restrict_mm(fine):
+    """Restriction as two small matmuls (Wx @ p @ Wy^T): identical math to
+    the conv formulation (which runs the TPU conv at bf16 default — the
+    matmuls are at least as accurate).  Used on levels whose K-apply is
+    the Pallas stencil: `conv_general_dilated` cohabiting with the custom
+    call in one program cost ~4-5 ms per V-cycle level at 1024^2 (an XLA
+    layout/scheduling pathology, BENCH_NOTES.md); the matmul form maps
+    onto the MXU and is layout-agnostic."""
+    out = []
+    for p in fine:
+        Wx = _restrict_mat(p.shape[0], p.dtype)
+        Wy = _restrict_mat(p.shape[1], p.dtype)
+        q = jax.lax.dot_general(Wx, p, (((1,), (0,)), ((), ())))
+        out.append(jax.lax.dot_general(q, Wy, (((1,), (1,)), ((), ()))))
+    return tuple(out)
+
+
+def prolong_mm(coarse, nnXf, nnYf):
+    """Prolongation as the exact transpose of ``restrict_mm``."""
+    out = []
+    for p in coarse:
+        Wx = _restrict_mat(nnXf, p.dtype)
+        Wy = _restrict_mat(nnYf, p.dtype)
+        q = jax.lax.dot_general(Wx, p, (((0,), (0,)), ((), ())))
+        out.append(jax.lax.dot_general(q, Wy, (((1,), (0,)), ((), ()))))
+    return tuple(out)
 
 
 #: smoother selection: 'jacobi' (damped, omega=0.7) or 'chebyshev'
@@ -322,11 +375,13 @@ def v_cycle(levels, b, lvl=0, nu=2):
     Kx = fek.k_apply_t(level.md, level.Ke, x, fix)
     r = tuple(jnp.where(f, 0., bi - ki) for f, bi, ki in zip(fix, b, Kx))
     NX, NY = _grid_of(level.md)
-    rc = restrict(r)
+    # matmul transfers on stencil levels (conv cohabitation pathology)
+    mm = fek._stencil_ok(level.md, level.Ke)
+    rc = restrict_mm(r) if mm else restrict(r)
     ec = v_cycle(levels, rc, lvl + 1, nu)
     fc = levels[lvl + 1].fixed
     ec = tuple(jnp.where(f, 0., ei) for f, ei in zip(fc, ec))
-    e = prolong(ec, NX + 1, NY + 1)
+    e = prolong_mm(ec, NX + 1, NY + 1) if mm else prolong(ec, NX + 1, NY + 1)
     x = tuple(xi + jnp.where(f, 0., ei) for xi, f, ei in zip(x, fix, e))
     return _smooth(level, x, b, nu)
 
