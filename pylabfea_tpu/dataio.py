@@ -239,274 +239,300 @@ class Data(object):
         if "load_case" in data.keys():
             print(f'Load case: {data["load_case"]}')
 
+    def _store_texture_descriptor(self, block):
+        """Digest a top-level 'Texture' block into mat_data: name/index
+        always; the quantitative descriptor (GSH coefficient slice or ADV
+        address vector) only when tx_data is enabled."""
+        self.mat_data['tx_name'] = block['name']
+        if 'texture_index' in block:
+            self.mat_data['tx_index'] = block['texture_index']
+        else:
+            print('read_data: texture block carries no texture_index; '
+                  'keeping the default (0).')
+        if not self.mat_data['tx_data']:
+            warnings.warn('tx_data was set to false. Only qualitative '
+                          'texture info is included.')
+            return
+        descr = self.mat_data['tx_descriptor']
+        kind, _, tail = descr.rpartition('_')
+        if descr.startswith('GSH') or 'GSH' in kind:
+            ncoeff = int(tail)
+            if ncoeff not in (3, 7, 12, 37):
+                raise ValueError(f'GSH descriptor dimension {ncoeff} is not '
+                                 'supported (choose 3, 7, 12 or 37)')
+            coeff = np.asarray(block['gsh_coeff_reconstructed_random'])
+            self.mat_data['texture'] = coeff[1:1 + ncoeff]
+        elif descr.startswith('ADV') or 'ADV' in kind:
+            self.mat_data['texture'] = np.asarray(
+                block[f'address_vector_{int(tail)}'])
+        elif descr == 'VF':
+            raise NotImplementedError
+        self.mat_data['tdim'] = len(self.mat_data['texture'])
+
+    def _stress_unit_factor(self, rec):
+        """MPa-normalisation factor from a record's 'units' entry."""
+        if 'units' not in rec:
+            print('Warning: No units for stresses are given. Assuming MPa.')
+            return 1.
+        unit = rec['units']['Stress']
+        try:
+            return {'MPa': 1., 'GPa': 1000.}[unit]
+        except KeyError:
+            raise ValueError(f'Cannot convert stress unit {unit}. '
+                             'Data must be in MPa or GPa.') from None
+
+    def _decode_load_case(self, key, rec):
+        """Extract (sig, eps_tot, eps_pl | None) arrays from one load-case
+        record in either JSON schema (legacy 'Results' S11.. arrays or the
+        new stress/total_strain/plastic_strain sub-dicts), in MPa."""
+        if 'Results' in rec:
+            res = rec['Results']
+            shear0 = '32' if self.mode == 'JS' else '23'
+            def gather(prefix):
+                comps = ('11', '22', '33', shear0, '13', '12')
+                return np.array([res[prefix + c] for c in comps]).T
+            sig = gather('S')
+            eps_tot = gather('E')
+            eps_pl = gather('Ep') if 'Ep11' in res else None
+        else:
+            sig = _tensor_from_subdict(rec['stress'])
+            sig = sig * self._stress_unit_factor(rec)
+            eps_tot = _tensor_from_subdict(rec['total_strain'])
+            eps_pl = (_tensor_from_subdict(rec['plastic_strain'])
+                      if 'plastic_strain' in rec else None)
+        return sig, eps_tot, eps_pl
+
+    @staticmethod
+    def _case_metadata(rec):
+        """Provenance fields (identifier/input_path/load_case) if present."""
+        meta = {}
+        if 'identifier' in rec:
+            meta['identifier'] = rec['identifier']
+            if 'input_path' in rec:
+                meta['input_path'] = rec['input_path']
+            if 'load_case' in rec:
+                meta['load_case'] = rec['load_case']
+            else:
+                bc0 = rec.get('mechanical_BC', [{}])[0]
+                if 'load_case' in bc0:
+                    meta['load_case'] = bc0['load_case']
+        return meta
+
+    def _backfill_plastic_strain(self, records, fit_eps, fit_sig):
+        """No record carried plastic strains: fit the elastic stiffness to
+        the collected elastic-regime samples and subtract the (logarithmic)
+        elastic strain from each total strain."""
+        C = get_elastic_coefficients(fit_eps, fit_sig, method='least_square')
+        compliance = np.linalg.inv(C)
+        for rec in records.values():
+            eps_el = ln_strain(rec['Stress'] @ compliance.T)
+            eps_pl = eng_strain(ln_strain(rec['Strain_Total']) - eps_el)
+            rec['Strain_Plastic'] = eps_pl
+            rec['Eq_Strain_Plastic'] = eps_eq(eps_pl)
+        print('Plastic strains are reconstructed from linear part of '
+              'stress strain data.')
+
     def read_data(self, data_file):
         """Read a JSON database into per-load-case stress/strain arrays.
+
         Handles the legacy 'Results' format and the new schema, texture
         descriptor blocks (GSH/ADV), unit conversion, 'cyl' yield-onset-only
         records, and plastic-strain reconstruction from the fitted compliance
-        when plastic strains are absent."""
+        when plastic strains are absent.  Contract follows the reference
+        reader (/root/reference/src/pylabfea/data.py:500-704)."""
         print("Reading data from", data_file)
-        data = json.load(open(data_file))
-        final = dict()
-        elstrain = []
-        elstress = []
-        e_plastic = False
-        for num, (key, val) in enumerate(data.items()):
+        with open(data_file) as fh:
+            raw = json.load(fh)
+        records = dict()
+        fit_eps = []   # elastic-regime strain samples for the stiffness fit
+        fit_sig = []
+        have_plastic = False
+        for pos, (key, rec) in enumerate(raw.items()):
             if key == 'Texture':
-                self.mat_data['tx_name'] = val['name']
-                try:
-                    self.mat_data['tx_index'] = val['texture_index']
-                except KeyError:
-                    print("No texture_index found in this Data_Base.json -> "
-                          "Assign default value of 0")
-                if not self.mat_data['tx_data']:
-                    warnings.warn("tx_data was set to false. Only qualitative "
-                                  "texture info is included.")
-                else:
-                    td = self.mat_data['tx_descriptor']
-                    if 'GSH' in td:
-                        gsh_dim = int(td.split('_')[-1])
-                        if gsh_dim in [3, 7, 12, 37]:
-                            self.mat_data['texture'] = np.array(
-                                val['gsh_coeff_reconstructed_random']
-                            )[1:1 + gsh_dim]
-                        else:
-                            raise ValueError(f"GSH with {gsh_dim} not valid. "
-                                             "Must be 3, 7, 12 or 37")
-                    elif 'ADV' in td:
-                        adv_dim = int(td.split('_')[-1])
-                        self.mat_data['texture'] = np.array(
-                            val[f'address_vector_{adv_dim}'])
-                    elif td == 'VF':
-                        raise NotImplementedError
-                    self.mat_data['tdim'] = len(self.mat_data['texture'])
+                self._store_texture_descriptor(rec)
                 continue
-
-            if 'Results' in val.keys():
-                if 'cyl' in key:
-                    final[key] = {"Stress": val['Results']}
+            if 'cyl' in key and 'Results' in rec:
+                # yield-onset-only record: a bare stress tensor
+                records[key] = {"Stress": rec['Results']}
+                continue
+            sig, eps_tot, eps_pl = self._decode_load_case(key, rec)
+            seq = sig_eq_j2(sig)
+            if eps_pl is None:
+                # no plastic strains: bank one elastic sample at 90% of the
+                # detected transition for the stiffness fit; paths whose
+                # transition sits in the first 10 samples are unusable
+                knee = find_transition_index(seq)
+                if knee < 10:
                     continue
-                res = val['Results']
-                c3 = '32' if self.mode == 'JS' else '23'
-                stresses = np.array([res["S11"], res["S22"], res["S33"],
-                                     res["S" + c3], res["S13"], res["S12"]]).T
-                seq_full = sig_eq_j2(stresses)
-                tstrain = np.array([res["E11"], res["E22"], res["E33"],
-                                    res["E" + c3], res["E13"], res["E12"]]).T
-                teeq_full = eps_eq(tstrain)
-                if "Ep11" in res.keys():
-                    pstrain = np.array([res["Ep11"], res["Ep22"], res["Ep33"],
-                                        res["Ep" + c3], res["Ep13"],
-                                        res["Ep12"]]).T
-                    peeq_pl = eps_eq(pstrain)
-                    e_plastic = True
-                else:
-                    it = find_transition_index(seq_full)
-                    if it < 10:
-                        continue
-                    it = int(it * 0.9)
-                    elstrain.append(tstrain[it, :])
-                    elstress.append(stresses[it, :])
-                    pstrain = None
-                    peeq_pl = None
+                knee = int(knee * 0.9)
+                fit_eps.append(eps_tot[knee, :])
+                fit_sig.append(sig[knee, :])
+                peeq = None
             else:
-                stresses = _tensor_from_subdict(val['stress'])
-                if "units" in val.keys():
-                    unit = val['units']['Stress']
-                    if unit == 'MPa':
-                        sfct = 1.
-                    elif unit == 'GPa':
-                        sfct = 1000.
-                    else:
-                        raise ValueError(f"Cannot convert stress unit {unit}. "
-                                         "Data must be in MPa or GPa.")
-                else:
-                    sfct = 1.
-                    print('Warning: No units for stresses are given. '
-                          'Assuming MPa.')
-                stresses = stresses * sfct
-                seq_full = sig_eq_j2(stresses)
-                tstrain = _tensor_from_subdict(val['total_strain'])
-                teeq_full = eps_eq(tstrain)
-                if "plastic_strain" in val.keys():
-                    pstrain = _tensor_from_subdict(val['plastic_strain'])
-                    peeq_pl = eps_eq(pstrain)
-                    e_plastic = True
-                else:
-                    it = find_transition_index(seq_full)
-                    if it < 10:
-                        continue
-                    it = int(it * 0.9)
-                    elstrain.append(tstrain[it, :])
-                    elstress.append(stresses[it, :])
-                    pstrain = None
-                    peeq_pl = None
+                peeq = eps_eq(eps_pl)
+                have_plastic = True
+            records[key] = {
+                "Stress": sig,
+                "Eq_Stress": seq,
+                "Strain_Plastic": eps_pl,
+                "Eq_Strain_Plastic": peeq,
+                "Strain_Total": eps_tot,
+                "Eq_Strain_Total": eps_eq(eps_tot),
+                "Index": pos,
+                **self._case_metadata(rec)}
 
-            final[key] = {"Stress": stresses,
-                          "Eq_Stress": seq_full,
-                          "Strain_Plastic": pstrain,
-                          "Eq_Strain_Plastic": peeq_pl,
-                          "Strain_Total": tstrain,
-                          "Eq_Strain_Total": teeq_full,
-                          "Index": num}
-            if "identifier" in val.keys():
-                final[key]["identifier"] = val["identifier"]
-                if "input_path" in val.keys():
-                    final[key]["input_path"] = val["input_path"]
-                if "load_case" in val.keys():
-                    final[key]["load_case"] = val["load_case"]
-                elif "load_case" in val.get("mechanical_BC", [{}])[0].keys():
-                    final[key]["load_case"] = \
-                        val["mechanical_BC"][0]["load_case"]
+        if not have_plastic:
+            self._backfill_plastic_strain(records, fit_eps, fit_sig)
+        return records
 
-        if not e_plastic:
-            # reconstruct plastic strains from the fitted compliance
-            C = get_elastic_coefficients(elstrain, elstress,
-                                         method='least_square')
-            SV = np.linalg.inv(C)
-            for key, val in final.items():
-                stress = val['Stress']
-                strain_t = val['Strain_Total']
-                el_log = ln_strain(stress @ SV.T)
-                pl = eng_strain(ln_strain(strain_t) - el_log)
-                final[key]["Strain_Plastic"] = pl
-                final[key]["Eq_Strain_Plastic"] = eps_eq(pl)
-            print('Plastic strains are reconstructed from linear part of '
-                  'stress strain data.')
-        return final
+    @staticmethod
+    def _strain_bounds(peeq, knee, epl_crit, epl_start, epl_max):
+        """Resolve the per-load-case (critical, start, max) plastic-strain
+        levels from the user settings, defaulting from the detected
+        transition; validates epl_start <= critical level."""
+        crit = (max(peeq[knee] * 1.1, 0.002) if epl_crit is None
+                else epl_crit)
+        start = peeq[knee] if epl_start is None else epl_start
+        if epl_start is not None and epl_start > crit:
+            raise ValueError(f'Value of epl_start={epl_start} is larger '
+                             f'than epl_crit={crit}.')
+        return crit, start, (max(peeq) if epl_max is None else epl_max)
+
+    @staticmethod
+    def _thin_by_spacing(values, gap):
+        """Greedy positions whose value exceeds the previously accepted one
+        by at least ``gap`` (first acceptance threshold: 0)."""
+        keep = []
+        floor = 0.0
+        for pos, v in enumerate(values):
+            if v >= floor:
+                keep.append(pos)
+                floor = v + gap
+        return np.asarray(keep, dtype=int)
+
+    def _drop_case(self, key, seqno, rec, why):
+        print(f'parse_data: dropping load case {key} [#{seqno}] — {why}')
+        self.write_info(rec)
 
     def parse_data(self, epl_crit, epl_start, epl_max, depl):
         """Per load case: locate the yield point, interpolate the ideal yield
         stress at epl_crit, collect flow stresses/plastic strains with
         minimum spacing ``depl``, fit elastic constants, and average the
-        yield strength into ``mat_data``."""
-        Nlc = len(self.lc_data.keys())
-        Ncyl = 0
-        peeq_max = 0.
-        ct = 0
-        ep_c = ep_s = ep_m = 0.0
-        sig = []
-        epl = []
-        sig_ideal = []
-        lc_ind_list = np.zeros(Nlc + 1, dtype=int)
-        elstrain = []
-        elstress = []
-        it_list = []
-        for key, val in self.lc_data.items():
+        yield strength into ``mat_data``.  Contract follows the reference
+        parser (/root/reference/src/pylabfea/data.py:706-888)."""
+        n_cases = len(self.lc_data)
+        n_cyl = 0
+        n_dropped = 0
+        peeq_top = 0.          # largest collected plastic strain level
+        crit_sum = start_sum = max_sum = 0.0
+        flow_sig = []          # flow-stress rows across all kept cases
+        flow_epl = []          # matching onset-shifted plastic-strain rows
+        onset_sig = []         # ideal yield stresses (one per kept case)
+        case_ends = np.zeros(n_cases + 1, dtype=int)
+        fit_eps = []           # elastic strain/stress samples for the C fit
+        fit_sig = []
+        knee_table = []
+        seqno = 0              # position among non-dropped cases
+        n_rows = 0             # running total of collected flow rows
+        for key, rec in self.lc_data.items():
             if 'cyl' in key:
-                Ncyl += 1
-                ct += 1
-                sig_ideal.append(val['Stress'])
+                # yield-onset-only record: the stress IS the ideal stress
+                n_cyl += 1
+                seqno += 1
+                onset_sig.append(rec['Stress'])
                 continue
-            it = find_transition_index(val["Eq_Stress"])
-            elstrain.append(val['Strain_Total'][it] - val['Strain_Plastic'][it])
-            elstress.append(val['Stress'][it])
-            peeq = val['Eq_Strain_Plastic']
-            if epl_crit is None:
-                epc_lc = max(peeq[it] * 1.1, 0.002)
-                if epl_start is not None and epl_start > epc_lc:
-                    raise ValueError(f'Value of epl_start={epl_start} is '
-                                     f'larger than epl_crit={epc_lc}.')
-            else:
-                epc_lc = epl_crit
-            if epl_start is None:
-                eps_lc = peeq[it]
-            else:
-                eps_lc = epl_start
-                if epl_start > epc_lc:
-                    raise ValueError(f'Value of epl_start={epl_start} is '
-                                     f'larger than epl_crit={epc_lc}.')
-            epm_lc = max(peeq) if epl_max is None else epl_max
+            knee = find_transition_index(rec["Eq_Stress"])
+            fit_eps.append(rec['Strain_Total'][knee]
+                           - rec['Strain_Plastic'][knee])
+            fit_sig.append(rec['Stress'][knee])
+            peeq = rec['Eq_Strain_Plastic']
+            crit, start, top = self._strain_bounds(
+                peeq, knee, epl_crit, epl_start, epl_max)
 
-            i_ideal = np.nonzero(peeq <= epc_lc)[0]
-            if len(i_ideal) < 2:
-                print(f'Skipping data set {key} (No {ct}): No elastic range '
-                      'before yield onset.')
-                self.write_info(val)
-                Nlc -= 1
+            below_crit = np.flatnonzero(peeq <= crit)
+            elastic_ids = np.flatnonzero(peeq <= start)
+            plastic_ids = np.flatnonzero((peeq > start) & (peeq <= top))
+            # admissibility rules (order matters — message selection only):
+            why = None
+            if below_crit.size < 2:
+                why = 'fewer than 2 samples below epl_crit (no elastic ' \
+                      'regime before yield onset)'
+            elif below_crit.size >= len(peeq) - 2:
+                why = 'fewer than 3 samples above epl_crit (plastic regime ' \
+                      'too short)'
+            elif elastic_ids.size < 2:
+                why = 'fewer than 2 samples below epl_start (no elastic ' \
+                      'regime)'
+            elif plastic_ids.size < 2:
+                why = 'fewer than 2 samples in (epl_start, epl_max] (no ' \
+                      'plastic regime)'
+            if why is not None:
+                self._drop_case(key, seqno, rec, why)
+                n_dropped += 1
                 continue
-            if len(i_ideal) >= len(peeq) - 2:
-                print(f'Skipping data set {key} (No {ct}): Plastic range '
-                      'after yield onset not sufficient.')
-                self.write_info(val)
-                Nlc -= 1
-                continue
-            iel = np.nonzero(peeq <= eps_lc)[0]
-            ipl = np.nonzero(np.logical_and(peeq > eps_lc, peeq <= epm_lc))[0]
-            if len(iel) < 2:
-                print(f'Skipping data set {key} (No {ct}): No elastic range')
-                self.write_info(val)
-                Nlc -= 1
-                continue
-            if len(ipl) < 2:
-                print(f'Skipping data set {key} (No {ct}): No plastic range')
-                self.write_info(val)
-                Nlc -= 1
-                continue
-            it_list.append([it, int(i_ideal[-1]), int(iel[-1]), int(ipl[0])])
-            ep_c += epc_lc
-            ep_s += eps_lc
-            ep_m += epm_lc
 
-            idx = i_ideal[-1]
-            s_crit = interpolate_stress(s0=val['Eq_Stress'][idx],
-                                        s1=val['Eq_Stress'][idx + 1],
-                                        e0=peeq[idx], e1=peeq[idx + 1],
-                                        et=epc_lc)
-            sig_ideal.append(val['Stress'][idx] * s_crit /
-                             sig_eq_j2(val['Stress'][idx]))
-            if peeq[ipl[-1]] > peeq_max:
-                peeq_max = peeq[ipl[-1]]
+            knee_table.append([knee, int(below_crit[-1]),
+                               int(elastic_ids[-1]), int(plastic_ids[0])])
+            crit_sum += crit
+            start_sum += start
+            max_sum += top
 
-            # enforce minimum spacing depl between samples; shift plastic
-            # strains to zero at yield onset
-            eps_prev = -depl
-            nv = 0
-            for i in ipl:
-                hh = peeq[i]
-                if hh >= eps_prev + depl:
-                    sig.append(val['Stress'][i])
-                    sc_epl = max(0., 1. - epc_lc / hh)
-                    epl.append(val['Strain_Plastic'][i] * sc_epl)
-                    eps_prev = hh
-                    nv += 1
-            nonzero = np.nonzero(lc_ind_list)[0]
-            prev_idx = lc_ind_list[nonzero[-1]] if nonzero.size > 0 else 0
-            lc_ind_list[ct] = nv + prev_idx
+            # ideal yield stress: rescale the last sub-critical stress tensor
+            # so its J2 magnitude matches seq interpolated to peeq == crit
+            last = below_crit[-1]
+            seq_at_crit = interpolate_stress(
+                s0=rec['Eq_Stress'][last], s1=rec['Eq_Stress'][last + 1],
+                e0=peeq[last], e1=peeq[last + 1], et=crit)
+            onset_sig.append(rec['Stress'][last] * seq_at_crit
+                             / sig_eq_j2(rec['Stress'][last]))
+            peeq_top = max(peeq_top, peeq[plastic_ids[-1]])
+
+            # flow data: thin to minimum spacing depl, then shift the
+            # plastic strains so they vanish at yield onset
+            picked = plastic_ids[self._thin_by_spacing(peeq[plastic_ids],
+                                                       depl)]
+            shrink = np.maximum(0., 1. - crit / peeq[picked])
+            flow_sig.extend(rec['Stress'][picked])
+            flow_epl.extend(rec['Strain_Plastic'][picked]
+                            * shrink[:, None])
+            n_rows += picked.size
+            case_ends[seqno] = n_rows
             if self.mode == 'JS':
-                parsed = self.key_parser(key)
-                self.mat_data['tx_key'] = parsed["Hash_Orientation"]
+                fields = self.key_parser(key)
+                self.mat_data['tx_key'] = fields["Hash_Orientation"]
             else:
                 self.mat_data['ms_type'] = 'unknown'
                 self.mat_data['tx_key'] = 'unknown'
-            ct += 1
+            seqno += 1
 
-        if Nlc - Ncyl == 0:
+        n_kept = n_cases - n_dropped - n_cyl
+        if n_kept == 0:
             raise ValueError(
                 'parse_data: no usable load cases — every non-cyl record was '
                 'skipped as short or degenerate; check epl_crit/epl_start '
                 'against the data resolution.')
-        C = get_elastic_coefficients(elstrain, elstress, method='least_square')
-        sy_av = np.mean(sig_eq_j2(np.array(sig_ideal)))
-        self.mat_data['flow_stress'] = np.array(sig)
-        self.mat_data['plastic_strain'] = np.array(epl)
-        self.mat_data['lc_indices'] = lc_ind_list
-        self.mat_data['epc'] = ep_c / (Nlc - Ncyl)
-        self.mat_data['ep_start'] = ep_s / (Nlc - Ncyl)
-        self.mat_data['ep_max'] = ep_m / (Nlc - Ncyl)
-        self.mat_data['peeq_max'] = peeq_max - ep_c / (Nlc - Ncyl)
-        self.mat_data['elast_const'] = C
-        self.mat_data['sy_av'] = sy_av
-        self.mat_data['Nlc'] = Nlc
-        self.mat_data['Ncyl'] = Ncyl
-        self.mat_data['sig_ideal'] = np.array(sig_ideal)
-        self.mat_data['elstress'] = elstress
-        self.mat_data['elstrain'] = elstrain
-        self.mat_data['transition_ind'] = it_list
-        print(f'\n###   Data set: {self.mat_data["Name"]}  ###')
+        C = get_elastic_coefficients(fit_eps, fit_sig, method='least_square')
+        sy_av = np.mean(sig_eq_j2(np.array(onset_sig)))
+        md = self.mat_data
+        md['flow_stress'] = np.array(flow_sig)
+        md['plastic_strain'] = np.array(flow_epl)
+        md['lc_indices'] = case_ends
+        md['epc'] = crit_sum / n_kept
+        md['ep_start'] = start_sum / n_kept
+        md['ep_max'] = max_sum / n_kept
+        md['peeq_max'] = peeq_top - crit_sum / n_kept
+        md['elast_const'] = C
+        md['sy_av'] = sy_av
+        md['Nlc'] = n_cases - n_dropped
+        md['Ncyl'] = n_cyl
+        md['sig_ideal'] = np.array(onset_sig)
+        md['elstress'] = fit_sig
+        md['elstrain'] = fit_eps
+        md['transition_ind'] = knee_table
+        print(f'\n###   Data set: {md["Name"]}  ###')
         print(f'Estimated elastic constants (in GPa): C={C * 1.E-3}')
         print(f'Estimated yield strength: {sy_av:5.2f} MPa at '
-              f'PEEQ = {(ep_s / Nlc):5.3f}')
+              f'PEEQ = {start_sum / (n_cases - n_dropped):5.3f}')
 
     def convert_data(self, sig):
         """Build mat_data from yield-onset stress tensors only."""

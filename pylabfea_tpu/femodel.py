@@ -897,7 +897,8 @@ class Model(object):
         strain1/2/12, stress1/2/12, plastic1/2/12, seq, seqJ2, peeq, etot,
         ux, uy, mat."""
         import matplotlib.pyplot as plt
-        from matplotlib import colors, colorbar
+        from matplotlib import cm, colors
+        from matplotlib.collections import PolyCollection
 
         if fig is None:
             fig, ax = plt.subplots(1)
@@ -949,70 +950,54 @@ class Model(object):
         }
         val, text_cb = field[fsel]()
         val = np.asarray(val, dtype=float)
-        auto_scale = (vmin is None) and (vmax is None)
-        if vmin is None:
-            vmin = np.amin(val)
-        if vmax is None:
-            vmax = np.amax(val)
-        delta = np.abs(vmax - vmin)
-        if auto_scale and (delta < 0.1 or delta / vmax < 0.04):
-            if np.abs(vmax) < 0.1:
-                vmax += 0.05
-                vmin -= 0.05
-            elif vmax > 0.:
-                vmax *= 1.02
-                vmin *= 0.98
+        lo = np.amin(val) if vmin is None else vmin
+        hi = np.amax(val) if vmax is None else vmax
+        degenerate = abs(hi - lo) < 0.1 or hi < 0. \
+            or (hi > 0. and abs(hi - lo) < 0.04 * hi)
+        if vmin is None and vmax is None and degenerate:
+            # degenerate auto range: pad near-zero fields by an absolute
+            # +-0.05, otherwise widen both bounds by 2% of their magnitude
+            if abs(hi) < 0.1:
+                lo, hi = lo - 0.05, hi + 0.05
+            elif hi > 0.:
+                lo, hi = 0.98 * lo, 1.02 * hi
             else:
-                vmax *= 0.98
-                vmin *= 1.02
-            delta = np.abs(vmax - vmin)
-        col = np.round((val - vmin) / delta, decimals=5)
+                lo, hi = 1.02 * lo, 0.98 * hi
+        shade = np.round((val - lo) / abs(hi - lo), decimals=5)
 
-        for iel, el in enumerate(self.element):
-            if self.dim == 1:
-                ih = np.amin(el.nodes)
-                jh = np.amax(el.nodes)
-                hx1 = np.array(self.npos[ih])
-                hx2 = np.array(self.npos[jh])
-                if mag > 0. and self.u is not None:
-                    hx1 += mag * self.u[ih * self.dim]
-                    hx2 += mag * self.u[jh * self.dim]
-                hh = self.thick * 0.5
-                hx = [hx1, hx2, hx2, hx1]
-                hy = [-hh, -hh, hh, hh]
-            else:
-                hx = [0, 0, 0, 0]
-                hy = [0, 0, 0, 0]
-                k = [0, 3, 1, 2]
-                for p, ihn in enumerate(el.nodes):
-                    j = ihn * self.dim
-                    hx[k[p]] = np.array(self.npos[j])
-                    hy[k[p]] = np.array(self.npos[j + 1])
-                    if mag > 0. and self.u is not None:
-                        hx[k[p]] += mag * self.u[j]
-                        hy[k[p]] += mag * self.u[j + 1]
-            ax.fill(hx, hy, color=cmap(col[iel]))
-            if showmesh:
-                hx.append(hx[0])
-                hy.append(hy[0])
-                ax.plot(hx, hy, 'k', lw=1)
+        pos = np.asarray(self.npos, dtype=float)
+        if mag > 0. and self.u is not None:
+            pos = pos + mag * np.asarray(self.u)
+        if self.dim == 1:
+            # each bar element becomes a thick rectangle around the x axis
+            half = 0.5 * self.thick
+            quads = np.empty((self.Nel, 4, 2))
+            for ie, el in enumerate(self.element):
+                xl, xr = pos[min(el.nodes)], pos[max(el.nodes)]
+                quads[ie, :, 0] = (xl, xr, xr, xl)
+                quads[ie, :, 1] = (-half, -half, half, half)
+            node_x, node_y = pos, np.zeros_like(pos)
+        else:
+            xy = pos.reshape(-1, 2)
+            # connectivity row (n0, n1, n2, n3) in counter-clockwise
+            # perimeter order for the quad patch
+            ring = np.array([(el.nodes[0], el.nodes[2], el.nodes[3],
+                              el.nodes[1]) for el in self.element])
+            quads = xy[ring]
+            node_x, node_y = xy[:, 0], xy[:, 1]
+        patches = PolyCollection(
+            quads, facecolors=cmap(shade),
+            edgecolors='black' if showmesh else 'none',
+            linewidths=1. if showmesh else 0.)
+        ax.add_collection(patches)
+        ax.autoscale_view()
         if shownodes:
-            hh = np.array(self.npos)
-            if mag > 0. and self.u is not None:
-                hh = hh + mag * self.u
-            if self.dim == 1:
-                hx = hh
-                hy = np.zeros(self.Ndof)
-            else:
-                hx = hh[0:self.Ndof:2]
-                hy = hh[1:self.Ndof:2]
-            ax.scatter(hx, hy, s=50, c='red', marker='o', zorder=3)
+            ax.plot(node_x, node_y, 'o', color='red', markersize=7, zorder=3)
         if showbar:
-            axl = fig.add_axes([pos_bar, 0.15, 0.04, 0.7])
-            norm = colors.Normalize(vmin=vmin, vmax=vmax, clip=False)
-            cb1 = colorbar.ColorbarBase(axl, cmap=cmap, norm=norm,
-                                        orientation='vertical')
-            cb1.set_label(text_cb)
+            cax = fig.add_axes((pos_bar, 0.15, 0.04, 0.7))
+            sm = cm.ScalarMappable(
+                cmap=cmap, norm=colors.Normalize(vmin=lo, vmax=hi))
+            fig.colorbar(sm, cax=cax, orientation='vertical', label=text_cb)
         if annot:
             ax.set_xlabel('x (mm)')
             ax.set_ylabel('y (mm)')

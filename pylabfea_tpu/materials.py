@@ -1739,19 +1739,21 @@ class Material(object):
         t = np.arange(0., 2.1 * np.pi, np.pi / n)
         return a * np.cos(t) - b * np.sin(t), a * np.cos(t) + b * np.sin(t)
 
+    @staticmethod
+    def _symmetrize_about_zero(Z):
+        """Clamp the wider side of a diverging field's value range to the
+        magnitude of the narrower side, so zero sits at the colormap
+        center."""
+        lo, hi = float(np.amin(Z)), float(np.amax(Z))
+        return np.minimum(Z, -lo) if -lo < hi else np.maximum(Z, -hi)
+
     def plot_data(self, Z, axs, xx, yy, field=True, c='red'):
         """Contour (and optional field) plot of yield-function values."""
-        import matplotlib.pyplot as plt
-        zmin, zmax = np.amin(Z), np.amax(Z)
-        if -zmin < zmax:
-            Z[np.nonzero(Z > -zmin)] = -zmin
-        else:
-            Z[np.nonzero(Z < -zmax)] = -zmax
-        Z = Z.reshape(xx.shape)
+        Z = self._symmetrize_about_zero(np.asarray(Z)).reshape(xx.shape)
         if field:
-            axs.imshow(Z, interpolation='nearest',
-                       extent=(xx.min(), xx.max(), yy.min(), yy.max()),
-                       aspect='auto', origin='lower', cmap=plt.cm.PuOr_r)
+            axs.imshow(Z, origin='lower', aspect='auto',
+                       interpolation='nearest', cmap='PuOr_r',
+                       extent=(xx.min(), xx.max(), yy.min(), yy.max()))
         return axs.contour(xx, yy, Z, levels=[0], linewidths=1.5,
                            linestyles='solid', colors=c)
 
@@ -1966,26 +1968,24 @@ class Material(object):
         fig = plt.figure(figsize=(12, 9))
         ax = fig.add_axes([0, 0, 1, 1], projection='polar')
         if field and self.ML_yf:
-            xx, yy = np.meshgrid(np.linspace(-1., 1., Np),
-                                 np.linspace(-1., 1., Np))
-            if self.Ndof == 2:
-                feat = np.c_[yy.ravel(), xx.ravel()]
-            elif self.Ndof == 3:
-                feat = np.c_[yy.ravel(), xx.ravel(), -np.ones(Np * Np)]
-            else:
+            # decision-function field on a polar (theta, seq) grid; the SVC
+            # features are (seq/sy - 1, theta/pi)
+            tgrid, rgrid = np.meshgrid(
+                np.linspace(-np.pi, np.pi, Np),
+                np.linspace(0., 2. * self.scale_seq, Np))
+            feat = np.column_stack([rgrid.ravel() / self.scale_seq - 1.,
+                                    tgrid.ravel() / np.pi])
+            if self.Ndof == 3:
+                feat = np.column_stack([feat, -np.ones(len(feat))])
+            elif self.Ndof > 3:
                 raise ValueError('polar_plot_yl does not support texture '
                                  'dofs for field plots.')
-            Z = (np.where(svc_ops.decision_function(self._svc, feat) > 0,
-                          1., -1.) if predict
-                 else svc_ops.decision_function(self._svc, feat))
-            zmin, zmax = np.amin(Z), np.amax(Z)
-            if -zmin < zmax:
-                Z[np.nonzero(Z > -zmin)] = -zmin
-            else:
-                Z[np.nonzero(Z < -zmax)] = -zmax
-            Z = Z.reshape(xx.shape)
-            im = ax.pcolormesh(xx * np.pi, (yy + 1.) * self.scale_seq * sf, Z,
-                               cmap=plt.cm.PuOr_r, shading='auto')
+            Z = svc_ops.decision_function(self._svc, feat)
+            if predict:
+                Z = np.where(Z > 0, 1., -1.)
+            Z = self._symmetrize_about_zero(Z).reshape(tgrid.shape)
+            im = ax.pcolormesh(tgrid, rgrid * sf, Z, cmap='PuOr_r',
+                               shading='auto')
             if cbar:
                 fig.colorbar(im, ax=ax)
         theta = np.linspace(0., 2 * np.pi, Na)
