@@ -68,24 +68,40 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
     through LAPACK eig's raw eigenvalue order, which the eigh-based device
     path cannot replicate bitwise — principal-stress inputs and coaxial
     states match exactly), 6-D stress (plus ``dev_only``), stress +
-    work-hardening (Ndof=15) and texture-scaled features (fixed descriptor
-    via ``tex=``; PCA/ADV descriptors host-only)."""
+    work-hardening (Ndof=15) and texture-conditioned features (fixed
+    descriptor via ``tex=``; GSH scaler features and PCA-whitened ADV
+    descriptors both fold into an affine feature map)."""
     as_d = lambda x: jnp.asarray(x, dtype=dtype)
     if mat.ML_yf:
         p = mat._svc
         ndof = p.support_vectors.shape[1]
         txdat = bool(getattr(mat, 'txdat', False))
         if txdat:
-            if getattr(mat, 'pca', None) is not None:
-                raise NotImplementedError('device path: PCA (ADV) texture '
-                                          'descriptors run on the host '
-                                          'profile')
             if tex is None:
                 raise ValueError('texture-conditioned material: pass the '
                                  'fixed texture descriptor via tex=')
-            fm = as_d(mat.std_scaler.mean_)
-            fs = as_d(mat.std_scaler.scale_)
-            tx = as_d(np.asarray(tex, dtype=float))
+            tx_raw = np.asarray(tex, dtype=float)
+            mean = np.asarray(mat.std_scaler.mean_)
+            scale = np.asarray(mat.std_scaler.scale_)
+            pca = getattr(mat, 'pca', None)
+            if pca is not None and \
+                    'ADV' in mat.msparam[0]['tx_descriptor']:
+                # ADV descriptors go through the fitted PCA (whitened) —
+                # an affine map once trained (material.py:2301-2368).  The
+                # descriptor is fixed per DeviceMaterial, so store the
+                # PCA-transformed block directly with identity scaling on
+                # its columns; stress/WH columns keep the scaler transform.
+                ind_tx = mat.ind_tx
+                tx_feat = np.asarray(pca.transform(tx_raw[None, :]))[0]
+                fm = as_d(np.concatenate([mean[:ind_tx],
+                                          np.zeros(tx_feat.size)]))
+                fs = as_d(np.concatenate([scale[:ind_tx],
+                                          np.ones(tx_feat.size)]))
+                tx = as_d(tx_feat)
+            else:
+                fm = as_d(mean)
+                fs = as_d(scale)
+                tx = as_d(tx_raw)
         else:
             if ndof not in (2, 6, 15):
                 raise NotImplementedError(

@@ -293,6 +293,53 @@ def test_device_texture_features():
         d_h, atol=1e-8)
 
 
+def test_device_texture_pca_adv():
+    """PCA-whitened ADV texture descriptors on the device path: the fitted
+    StandardScaler + PCA compose into one affine feature map folded into
+    DeviceMaterial, so yf / fgrad / locus distance match the host
+    (material.py:2301-2368 semantics)."""
+    from scipy.optimize import fsolve
+
+    rng = np.random.default_rng(7)
+
+    def tex_set(tv, sy, hill):
+        ref = FE.Material()
+        ref.elasticity(E=200.e3, nu=0.3)
+        ref.plasticity(sy=sy, hill=hill, sdim=6)
+        su = FE.load_cases(12, 24)
+        x1 = fsolve(ref.find_yloc, np.ones(36) * sy, args=(su,), xtol=1e-5)
+        return {'sdim': 6, 'Nlc': 36, 'Ncyl': 0, 'Ntext': 1,
+                'wh_data': False, 'tx_data': True, 'epc': 0.002,
+                'peeq_max': 0.01, 'sy_av': float(sy),
+                'elast_const': ref.CV, 'sig_ideal': su * x1[:, None],
+                'tx_descriptor': 'ADV_12', 'texture': np.asarray(tv),
+                'tdim': 12}
+
+    adv = rng.normal(0., 1., (4, 12))
+    mat = FE.Material('ML-adv')
+    mat.from_data([
+        tex_set(adv[0], 90., [1.2, 1., 0.8, 1., 1., 1.]),
+        tex_set(adv[1], 120., [1., 1., 1., 1., 1., 1.]),
+        tex_set(adv[2], 105., [0.9, 1.1, 1., 1., 1., 1.]),
+        tex_set(adv[3], 112., [1.1, 0.9, 1., 1., 1., 1.])])
+    mat.train_SVC(C=10, gamma=1., Fe=0.8, Ce=0.95, Nseq=2)
+    assert mat.pca is not None
+    tex = adv[0]
+    dm = con.device_material_from(mat, dtype=jnp.float64, tex=tex)
+    sig = rng.normal(0., 70., (10, 6))
+    np.testing.assert_allclose(
+        np.asarray(con.yf(dm, jnp.asarray(sig), jnp.zeros(10))),
+        mat.calc_yf(sig, tex=tex), atol=1e-12)
+    _, g_d, _ = con.yf_and_fgrad(dm, jnp.asarray(sig), jnp.zeros(10))
+    np.testing.assert_allclose(np.asarray(g_d),
+                               mat.calc_fgrad(sig, tex=tex), atol=1e-12)
+    d_h = np.array([mat.ML_full_yf(sig[i], tex=tex, verb=False)
+                    for i in range(10)])
+    np.testing.assert_allclose(
+        np.asarray(con.ml_yf_dist(dm, jnp.asarray(sig), jnp.zeros(10))),
+        d_h, atol=1e-8)
+
+
 def test_device_cylindrical_sdim3():
     """Cylindrical (sdim=3, Ndof=2) SVC features on device: yield function,
     gradient (via the (seq, theta, p) Jacobian) and locus distance match
