@@ -425,7 +425,7 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     write displacements, element states and global history back.
     ``fast=False`` selects the reference-faithful substepped return map
     instead of the cutting-plane projection (tighter host parity);
-    ``cg_tol`` overrides the linear-solve tolerance (default 1e-8 for
+    ``cg_tol`` overrides the linear-solve tolerance (default 1e-11 for
     float64, 1e-6 for float32)."""
     md, dm, CV = to_device(model, dtype=dtype)
     state = fek.init_state(md, CV, dtype=dtype)

@@ -48,14 +48,28 @@ def compute_dtype():
 import os as _os
 
 _cache_dir = _os.environ.get("PYLABFEA_TPU_CACHE")
-if _cache_dir is None and "cpu" not in _os.environ.get(
-        "JAX_PLATFORMS", "").lower():
-    # default-on unless the process is pinned to CPU (compiles of the deep
-    # TPU solver programs are expensive; CPU stays opt-in because
-    # cross-machine AOT reuse of CPU executables is feature-sensitive).
-    # Decided from the environment, NOT from jax.devices(): importing this
-    # module must not initialize the backend (jax.distributed.initialize
-    # in multi-host programs must come first).
+
+
+def _tpu_in_env():
+    """Positive TPU signal from the environment alone — importing this
+    module must not initialize the backend (jax.distributed.initialize in
+    multi-host programs must come first), so jax.devices() is off-limits
+    here.  CPU-only machines (which typically set neither variable) stay
+    opt-in: cross-machine AOT reuse of CPU executables is
+    feature-sensitive."""
+    plats = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if "cpu" in plats:
+        return False
+    if "tpu" in plats or "axon" in plats:
+        return True
+    return any(v in _os.environ for v in
+               ("TPU_NAME", "TPU_WORKER_ID", "TPU_LIBRARY_PATH",
+                "TPU_ACCELERATOR_TYPE", "TPU_TOPOLOGY", "PJRT_DEVICE"))
+
+
+if _cache_dir is None and _tpu_in_env():
+    # default-on for TPU processes: compiles of the deep solver programs
+    # are expensive and reusable across runs
     _cache_dir = _os.path.expanduser("~/.cache/pylabfea_tpu_xla")
 if _cache_dir:
     try:

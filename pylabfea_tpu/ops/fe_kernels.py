@@ -764,7 +764,11 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
 @jax.jit
 def _hier_kes_jit(md: MeshData, elstiff):
     from pylabfea_tpu.ops import multigrid as mg
-    return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff))
+    # attach_inv=False: this program only keeps the stiffness planes, so
+    # don't trace the dense bottom factorization it would discard (the
+    # solve program rebuilds it in levels_from_kes)
+    return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff,
+                                               attach_inv=False))
 
 
 @partial(jax.jit, static_argnums=(4, 5))

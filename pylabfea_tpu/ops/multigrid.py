@@ -222,9 +222,19 @@ COARSE_DENSE_MAX = 700
 
 
 def _dense_coarse_inv(level: MGLevel):
-    """Dense inverse of the coarsest-level operator (identity rows on
-    fixed dofs, symmetric: inputs are masked and outputs pass fixed
-    values through, so K_dense = P K P^T + I_f)."""
+    """Dense SPD pseudo-inverse of the coarsest-level operator (identity
+    rows on fixed dofs, symmetric: inputs are masked and outputs pass fixed
+    values through, so K_dense = P K P^T + I_f).
+
+    Uses an eigendecomposition with small-eigenvalue clipping rather than
+    ``jnp.linalg.inv``: the injected coarse BC mask can lose displacement
+    constraints that sit only at odd fine grid indices (bcnode pins), which
+    leaves rigid-body translations in the bottom operator — a plain inverse
+    would then poison the V-cycle with inf/garbage, while the clipped
+    pseudo-inverse simply returns no correction along the nullspace (the
+    fine level, where BCs are exact, handles those components).  For a
+    well-conditioned bottom operator the result equals the inverse to
+    roundoff."""
     md = level.md
     nnX, nnY = md.grid[0] + 1, md.grid[1] + 1
     n = 2 * nnX * nnY
@@ -237,7 +247,11 @@ def _dense_coarse_inv(level: MGLevel):
         return jnp.concatenate([o[0].ravel(), o[1].ravel()])
 
     K = jax.vmap(apply_vec)(eye)
-    return jnp.linalg.inv(K)
+    w, V = jnp.linalg.eigh(K)
+    rel = 1e-10 if K.dtype == jnp.float64 else 1e-6
+    cut = rel * jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
+    winv = jnp.where(w > cut, 1. / jnp.where(w > cut, w, 1.), 0.)
+    return (V * winv[None, :]) @ V.T
 
 
 def _attach_coarse_inv(levels):
@@ -248,8 +262,14 @@ def _attach_coarse_inv(levels):
     return levels
 
 
-def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
-    """Build the level list (fine -> coarse) for the current tangent field."""
+def build_hierarchy(md: fek.MeshData, elstiff, min_size=8, attach_inv=True):
+    """Build the level list (fine -> coarse) for the current tangent field.
+
+    ``attach_inv=False`` skips the dense bottom-solve factorization — for
+    callers that only keep the per-level stiffness planes (``hierarchy_kes``
+    consumers), where tracing the ~n dense K-applies plus the
+    eigendecomposition would inflate compile time of a program whose result
+    discards them."""
     levels = []
     cur_md = md
     Ke = fek.element_stiffness_planes(md, elstiff)
@@ -262,7 +282,7 @@ def build_hierarchy(md: fek.MeshData, elstiff, min_size=8):
         # BC masks / grid metadata (same generator as the fine level)
         Ke = galerkin_coarsen_Ke(Ke)
         cur_md = coarsen_mesh(cur_md)
-    return _attach_coarse_inv(levels)
+    return _attach_coarse_inv(levels) if attach_inv else levels
 
 
 def hierarchy_kes(levels):

@@ -474,7 +474,11 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
     map then runs as a masked multi-pass — one pass per material over the
     sharded element axis (masks are elementwise, so the passes stay
     communication-free), which beats a global material-sort gather across
-    strips for the typical 2-3-material inclusion workloads.
+    strips for the typical 2-3-material inclusion workloads.  Constitutive
+    cost is O(nmat * Nel) — every pass evaluates all elements (with the
+    wrong stiffness on foreign lanes before masking) — so for many
+    materials prefer the single-chip grouped-gather path
+    (``MeshData.perm/groups``), which stays O(Nel).
 
     Returns updated (sig, epl, du, diagnostics)."""
     multi = isinstance(mat, (tuple, list)) \

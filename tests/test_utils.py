@@ -111,6 +111,37 @@ def test_multigrid_mesh_independent_iterations():
     assert max(iters) <= iters[0] + 5  # no growth with refinement
 
 
+def test_coarse_bottom_pseudo_inverse_robust():
+    """Displacement pins that sit only at ODD grid indices vanish under the
+    coarse-mask injection, leaving rigid-body modes in the bottom operator;
+    the eigh-clipped pseudo-inverse must stay finite and MG-CG must still
+    converge (a plain inverse poisons the V-cycle with inf/NaN)."""
+    CV = _elastic_cv()
+    md = fek.rect_mesh(16, 16, LX=1., LY=1., uniax='y', eps_tot=0.001,
+                       dtype=jnp.float64)
+    fixed = np.zeros(np.asarray(md.fixed).shape, dtype=bool)
+    fixed[0, 1, 1] = fixed[1, 1, 1] = True
+    fixed[0, 15, 3] = True
+    fixed[1, 3, 15] = True
+    md = md._replace(fixed=jnp.asarray(fixed),
+                     fixed_val=jnp.zeros_like(md.fixed_val))
+    elstiff = jnp.broadcast_to(jnp.asarray(CV), (md.nel, 6, 6))
+    levels = mg.build_hierarchy(md, elstiff)
+    bot = levels[-1]
+    assert bot.kc_inv is not None
+    assert not np.asarray(jnp.any(bot.fixed[0])) \
+        and not np.asarray(jnp.any(bot.fixed[1]))  # pins lost by injection
+    assert np.isfinite(np.asarray(bot.kc_inv)).all()
+    rng = np.random.default_rng(0)
+    b = rng.normal(0., 1., (2, 17, 17))
+    b[fixed] = 0.
+    bT = (jnp.asarray(b[0]), jnp.asarray(b[1]))
+    x0 = tuple(jnp.zeros((17, 17), jnp.float64) for _ in range(2))
+    xT, res, it = mg.mg_cg_solve(levels, bT, x0, tol=1e-8, maxiter=400)
+    assert np.isfinite(np.asarray(xT[0])).all()
+    assert float(res) < 1e-8
+
+
 def test_pallas_interpret_decision():
     from pylabfea_tpu.ops.pallas_kernels import svc_decision_pallas
     rng = np.random.default_rng(0)
