@@ -884,7 +884,7 @@ def _gate_scale(md: MeshData, mat):
 
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
-                    nsub=4, du0=None, gate=False, max_inner=15):
+                    nsub=4, du0=None, gate=False, max_inner=15, kes0=None):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -902,14 +902,23 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     ``max_inner`` iterations.  Costs one scalar device sync per inner
     iteration; saves whole solve+response rounds on elastic or
     nearly-converged steps.  ``n_inner`` still sets the MINIMUM
-    iteration count (>= 1 solve+response always runs)."""
+    iteration count (>= 1 solve+response always runs).
+
+    ``kes0`` optionally passes the PREVIOUS step's multigrid hierarchy
+    (``diag['kes']``): the tangent update only replaces element
+    stiffnesses whose change exceeds 1e-3, so when the previous step's
+    final response reported ``dstiff <= 1e-3`` the entering ``elstiff``
+    is bitwise the field that hierarchy was coarsened from, and the
+    Galerkin rebuild (~20 ms at 1024^2) is skipped for the first inner
+    solve.  Callers should pass it only under that condition (see
+    ``solve_uniaxial``)."""
     from pylabfea_tpu.core.tensors import yf_tolerance
     bc_val = md.fixed_val * load_frac
     force = md.force * load_frac
     elstiff = state.elstiff
     du = du0
     count = (max_inner if gate else n_inner) + 1
-    kes = None
+    kes = kes0
     for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
@@ -917,8 +926,9 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             # the tangent update only replaces element stiffnesses whose
             # change exceeds 1e-3, so dst <= 1e-3 means elstiff is
             # UNCHANGED and the multigrid hierarchy (Galerkin coarsening,
-            # ~20 ms at 1024^2) can be reused verbatim
-            if kes is None or float(dst) > 1.e-3:
+            # ~20 ms at 1024^2) can be reused verbatim (i == 0 reuses an
+            # entering kes0 unconditionally — the caller's contract)
+            if kes is None or (i > 0 and float(dst) > 1.e-3):
                 kes = _hier_kes_jit(md, elstiff)
             tol = cg_tol if cg_tol is not None else (
                 1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)
@@ -947,6 +957,10 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             'glob_sig': jnp.mean(sig_n, axis=0),
             'glob_eps': jnp.mean(new.eps, axis=0),
             'glob_epl': jnp.mean(new.epl, axis=0)}
+    if md.grid is not None:
+        # hand the hierarchy to the next step — valid to reuse there only
+        # when the LAST response replaced nothing (dstiff <= 1e-3)
+        diag['kes'] = kes
     return new, diag
 
 
@@ -963,13 +977,18 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
     state = init_state(md, CV, dtype=dtype)
     hist = []
     du0 = None
+    kes0 = None
     for _ in range(nsteps):
         if split:
             state, diag = load_step_split(
                 md, state, mat, CV, 1. / nsteps, n_inner=n_inner,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter, fast=fast, nsub=nsub,
-                du0=du0, gate=gate)
+                du0=du0, gate=gate, kes0=kes0)
             du0 = diag['du']  # equal fractions: previous du ~ next du
+            # the hierarchy carries over only when the final response
+            # replaced no element stiffness (elstiff bitwise unchanged)
+            kes0 = diag.get('kes') \
+                if float(diag['dstiff']) <= 1.e-3 else None
         else:
             state, diag = load_step(md, state, mat, CV, 1. / nsteps,
                                     n_inner=n_inner, cg_tol=cg_tol,

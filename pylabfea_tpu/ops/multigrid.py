@@ -30,15 +30,27 @@ def _grid_of(md):
 
 def coarsen_mesh(md: fek.MeshData):
     """MeshData of the next-coarser level (half resolution, same element
-    aspect ratio; the 2-D quad element matrix is size-invariant).  The
-    coarse displacement-BC mask is the injection of the fine mask at the
-    coinciding nodes (coarse (I, J) <-> fine (2I, 2J)) — exact for edge BCs
-    and single-node pins, and valid for arbitrary BC layouts (the coarse
-    levels only precondition; the fine level enforces the BCs exactly)."""
+    aspect ratio; the 2-D quad element matrix is size-invariant).
+
+    The coarse displacement-BC mask is PIN-PRESERVING: a coarse node is
+    fixed when ANY fine node in its 3x3 neighbourhood (the nodes that
+    prolongate from it) is fixed.  Plain injection at the coinciding nodes
+    (coarse (I, J) <-> fine (2I, 2J)) loses displacement constraints that
+    sit only at odd fine indices (bcnode pins), leaving rigid-body modes in
+    the coarse operators and a singular bottom solve.  Mapping a pin to its
+    neighbouring coarse nodes slightly over-constrains the coarse
+    correction, which is harmless — the coarse levels only precondition;
+    the fine level enforces the BCs exactly."""
     NX, NY, lx, ly, uniax = md.grid
     mdc = fek.rect_mesh(NX // 2, NY // 2, LX=lx * NX, LY=ly * NY,
                         uniax='none', eps_tot=0., dtype=md.B.dtype)
-    return mdc._replace(fixed=md.fixed[:, ::2, ::2])
+    nXc, nYc = NX // 2 + 1, NY // 2 + 1
+    fp = jnp.pad(md.fixed, ((0, 0), (1, 1), (1, 1)))
+    fc = jnp.zeros(md.fixed.shape[:1] + (nXc, nYc), bool)
+    for di in range(3):
+        for dj in range(3):
+            fc = fc | fp[:, di:di + 2 * nXc - 1:2, dj:dj + 2 * nYc - 1:2]
+    return mdc._replace(fixed=fc)
 
 
 def coarsen_elstiff(md, elstiff):
@@ -226,15 +238,18 @@ def _dense_coarse_inv(level: MGLevel):
     rows on fixed dofs, symmetric: inputs are masked and outputs pass fixed
     values through, so K_dense = P K P^T + I_f).
 
-    Uses an eigendecomposition with small-eigenvalue clipping rather than
-    ``jnp.linalg.inv``: the injected coarse BC mask can lose displacement
-    constraints that sit only at odd fine grid indices (bcnode pins), which
-    leaves rigid-body translations in the bottom operator — a plain inverse
-    would then poison the V-cycle with inf/garbage, while the clipped
-    pseudo-inverse simply returns no correction along the nullspace (the
-    fine level, where BCs are exact, handles those components).  For a
-    well-conditioned bottom operator the result equals the inverse to
-    roundoff."""
+    Uses a Jacobi-equilibrated eigendecomposition with small-eigenvalue
+    clipping rather than ``jnp.linalg.inv`` (dtype-generic — TPU LU is
+    f32-only — and robust to an exactly singular operator, which a plain
+    inverse turns into inf/NaN that poisons the V-cycle).  The
+    equilibration matters for the clip threshold: K_dense mixes identity
+    rows (eigenvalue 1) with stiffness-scale rows (~E, 1e5+), so a clip
+    relative to the RAW lambda_max can cut the BC-passthrough and genuine
+    soft bending modes — symmetric scaling by diag(K)^-1/2 collapses that
+    spread (all diagonals 1), after which the threshold only separates
+    numerically-zero modes.  ``coarsen_mesh`` preserves pins, so a true
+    nullspace cannot arise from mask injection any more; the clip is a
+    secondary guard (manually constructed BC-free levels, roundoff)."""
     md = level.md
     nnX, nnY = md.grid[0] + 1, md.grid[1] + 1
     n = 2 * nnX * nnY
@@ -247,11 +262,15 @@ def _dense_coarse_inv(level: MGLevel):
         return jnp.concatenate([o[0].ravel(), o[1].ravel()])
 
     K = jax.vmap(apply_vec)(eye)
-    w, V = jnp.linalg.eigh(K)
-    rel = 1e-10 if K.dtype == jnp.float64 else 1e-6
+    d = jnp.diagonal(K)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    Ks = s[:, None] * K * s[None, :]
+    w, V = jnp.linalg.eigh(Ks)
+    rel = 1e-11 if K.dtype == jnp.float64 else 3e-6
     cut = rel * jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
     winv = jnp.where(w > cut, 1. / jnp.where(w > cut, w, 1.), 0.)
-    return (V * winv[None, :]) @ V.T
+    SV = s[:, None] * V
+    return (SV * winv[None, :]) @ SV.T
 
 
 def _attach_coarse_inv(levels):
