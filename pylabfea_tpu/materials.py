@@ -1015,11 +1015,6 @@ class Material(object):
                                               max_stress, flag, tex)
 
         if gridsearch:
-            if backend != 'sklearn':
-                raise NotImplementedError(
-                    "gridsearch requires backend='sklearn'")
-            from sklearn import svm
-            from sklearn.model_selection import GridSearchCV
             if cvals is None:
                 cvals = [1, 2, 4, 10]
                 if C not in cvals:
@@ -1028,11 +1023,22 @@ class Material(object):
                 gvals = [0.5, 1, 1.5, 2, 2.5, 3]
                 if gamma not in gvals:
                     gvals.append(gamma)
-            self.grid = GridSearchCV(svm.SVC(), {'C': cvals, 'gamma': gvals},
-                                     refit=True, verbose=verbose, n_jobs=-1)
-            self.grid.fit(X_train, y_train)
-            self.gam_yf = self.grid.best_params_["gamma"]
-            self.C_yf = self.grid.best_params_["C"]
+            if backend == 'jax':
+                from pylabfea_tpu.ml_train import gridsearch_svc_jax
+                self.C_yf, self.gam_yf, sc = gridsearch_svc_jax(
+                    X_train, y_train, cvals, gvals)
+                self.grid = {'cvals': cvals, 'gvals': gvals, 'scores': sc,
+                             'best': {'C': self.C_yf, 'gamma': self.gam_yf}}
+            else:
+                from sklearn import svm
+                from sklearn.model_selection import GridSearchCV
+                self.grid = GridSearchCV(svm.SVC(),
+                                         {'C': cvals, 'gamma': gvals},
+                                         refit=True, verbose=verbose,
+                                         n_jobs=-1)
+                self.grid.fit(X_train, y_train)
+                self.gam_yf = self.grid.best_params_["gamma"]
+                self.C_yf = self.grid.best_params_["C"]
         self._fit_svc_backend(X_train, y_train, backend)
 
         if metric == 'acc':
@@ -1109,11 +1115,6 @@ class Material(object):
                 X_test[:, self.ind_wh] = x_test[:, self.ind_wh + 1] / self.scale_wh
 
         if gridsearch:
-            if backend != 'sklearn':
-                raise NotImplementedError(
-                    "gridsearch requires backend='sklearn'")
-            from sklearn import svm
-            from sklearn.model_selection import GridSearchCV
             if cvals is None:
                 cvals = [2, 4, 6, 8, 10, 15]
                 if C not in cvals:
@@ -1122,11 +1123,18 @@ class Material(object):
                 gvals = [1, 1.5, 2, 2.5, 3]
                 if gamma not in gvals:
                     gvals.append(gamma)
-            grid = GridSearchCV(svm.SVC(), {'C': cvals, 'gamma': gvals},
-                                refit=True, verbose=3, n_jobs=-1)
-            grid.fit(X_train, y_train)
-            self.gam_yf = grid.best_params_["gamma"]
-            self.C_yf = grid.best_params_["C"]
+            if backend == 'jax':
+                from pylabfea_tpu.ml_train import gridsearch_svc_jax
+                self.C_yf, self.gam_yf, _ = gridsearch_svc_jax(
+                    X_train, y_train, cvals, gvals)
+            else:
+                from sklearn import svm
+                from sklearn.model_selection import GridSearchCV
+                grid = GridSearchCV(svm.SVC(), {'C': cvals, 'gamma': gvals},
+                                    refit=True, verbose=3, n_jobs=-1)
+                grid.fit(X_train, y_train)
+                self.gam_yf = grid.best_params_["gamma"]
+                self.C_yf = grid.best_params_["C"]
         self._fit_svc_backend(X_train, y_train, backend)
         train_sc = 100 * self._svc_score(X_train, y_train)
         test_sc = None if X_test is None \
