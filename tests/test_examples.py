@@ -36,6 +36,43 @@ def test_train_hardening_example(tmp_path, monkeypatch):
     assert mat.whdat
 
 
+def test_train_goss_barlat_example(tmp_path, monkeypatch):
+    """The most fragile reference-mirroring workflow: Barlat Yld2004-18p
+    yield stresses by fsolve, Data import, SVC training, inclusion FEA."""
+    monkeypatch.chdir(tmp_path)
+    import train_goss_barlat
+    mat_ml = train_goss_barlat.main(plot=False)
+    assert mat_ml.ML_yf
+    # the learned locus reproduces the Barlat uniaxial-x yield stress
+    from scipy.optimize import fsolve
+    su = np.array([[1., 0., 0., 0., 0., 0.]])
+    x = fsolve(mat_ml.find_yloc, np.array([50.]), args=(su,), xtol=1e-4)
+    assert 35. < x[0] < 75.
+
+
+def test_active_learning_qbc_example(tmp_path, monkeypatch):
+    """Query-by-committee active learning (seeded, small committee)."""
+    monkeypatch.chdir(tmp_path)
+    import active_learning_qbc
+    mat = active_learning_qbc.main(n_members=3, n_queries=1, Nlc_init=24,
+                                   seed=42)
+    assert mat.ML_yf and mat.svm_yf is not None
+
+
+def test_train_texture_example(tmp_path, monkeypatch):
+    """Texture-interpolating SVC over 5 GSH-described textures."""
+    monkeypatch.chdir(tmp_path)
+    import train_texture
+    mat = train_texture.main(gridsearch=False)
+    assert mat.Nset == 5
+    from scipy.optimize import fsolve
+    s = np.array([[1., 0., 0., 0., 0., 0.]])
+    for tex, sy in [([0.25, 0.05, 0.00], 85.), ([0.00, 0.05, 0.35], 125.)]:
+        x = fsolve(lambda t: mat.find_yloc(t, s, tex=np.asarray(tex)),
+                   np.array([sy]), xtol=1e-4)
+        assert abs(x[0] - sy) < 0.25 * sy
+
+
 @pytest.mark.skipif(
     not os.path.exists('/root/reference/examples/Train_CPFEM/'
                        'Data_Random_Texture_Test.json'),
