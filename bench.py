@@ -19,6 +19,7 @@ Prints exactly one JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 import json
+import os
 import sys
 import time
 
@@ -80,6 +81,137 @@ def host_material(svc_np, sy, CV):
     return mat
 
 
+def ref_solve_fields(dtype):
+    """Device-vs-REFERENCE FE-solve benchmark on the meshes recorded in
+    REF_SOLVE.json (tools/bench_ref_solve.py runs the ACTUAL pyLabFEA
+    package's Model.solve() once per machine — a 64-element solve takes
+    ~12 min of host CPU).  The device side solves the identical BVP with
+    the identical trained SVC (REF_SOLVE_svc.npz) under the convergence-
+    gated equilibrium loop and must land on the reference's converged
+    global stress (parity recorded alongside the speedup)."""
+    import json as _json
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    jpath = os.path.join(root, 'REF_SOLVE.json')
+    spath = os.path.join(root, 'REF_SOLVE_svc.npz')
+    if not (os.path.exists(jpath) and os.path.exists(spath)):
+        return {}
+    with open(jpath) as fh:
+        rec = _json.load(fh)
+    z = np.load(spath)
+    import pylabfea_tpu as FE
+    from pylabfea_tpu.ops import constitutive as con
+    from pylabfea_tpu.ops import fe_kernels as fek
+    from pylabfea_tpu.ops.svc import SVCParams
+
+    mat = FE.Material('ref-ML')
+    mat.elasticity(CV=np.asarray(z['CV'], dtype=float))
+    mat.plasticity(sy=float(z['sy']), sdim=6)
+    mat._svc = SVCParams(support_vectors=np.asarray(z['support_vectors']),
+                         dual_coef=np.asarray(z['dual_coef']),
+                         intercept=float(z['intercept']),
+                         gamma=float(z['gamma']))
+    mat.ML_yf = True
+    mat.dev_only = bool(z['dev_only'])
+    mat.scale_seq = float(z['scale_seq'])
+    mat.Ndof = 6
+    dm = con.device_material_from(mat, dtype=dtype)
+    CV = np.asarray(z['CV'], dtype=float)
+    eps = float(z['eps'])
+
+    fields = {}
+    for key, r in sorted(rec.get('sizes', {}).items(), key=lambda kv:
+                         int(kv[0])):
+        N = int(key)
+        md = fek.rect_mesh(N, N, LX=2., LY=2., uniax='y', eps_tot=eps,
+                           dtype=dtype)
+        # one throwaway pass to exclude compile time (the reference's
+        # recorded wall-clock is steady-state Python, not compilation)
+        st, _ = fek.solve_uniaxial(md, dm, CV, nsteps=8, n_inner=2,
+                                   dtype=dtype, gate=True)
+        sync(st.sig)
+        t0 = time.perf_counter()
+        st, hist = fek.solve_uniaxial(md, dm, CV, nsteps=8, n_inner=2,
+                                      dtype=dtype, gate=True)
+        sync(st.sig)
+        dt = time.perf_counter() - t0
+        sig = np.asarray(hist[-1][0], float)
+        ref_sig = np.asarray(r['glob_sig'], float)
+        par = float(np.abs(sig - ref_sig).max()
+                    / max(1., np.abs(ref_sig).max()))
+        speed = r['solve_s'] / dt
+        log(f'ref-solve {N}x{N}: reference {r["solve_s"]:.0f}s, device '
+            f'{dt * 1e3:.0f} ms -> {speed:,.0f}x (glob-sig parity '
+            f'{par:.1e})')
+        fields[f'fe_solve_speedup_{N}sq'] = round(speed, 1)
+        fields[f'fe_solve_parity_{N}sq'] = float(f'{par:.2e}')
+    return fields
+
+
+def scale_fields(dtype, CV):
+    """Flagship-scale rows: a 2048^2 (4.2M-element) single-material
+    production step and a 1024^2 3-material inclusion step (general BCs,
+    corner pin, grouped return maps — the reference's train_hill.py
+    flagship workload at TPU scale)."""
+    import pylabfea_tpu as FE
+    from pylabfea_tpu.ops import constitutive as con
+    from pylabfea_tpu.ops import fe_kernels as fek
+
+    fields = {}
+    # --- 2048^2 single material -----------------------------------------
+    dm, _ = flagship(dtype)
+    md = fek.rect_mesh(2048, 2048, LX=1., LY=1., uniax='y', eps_tot=0.002,
+                       dtype=dtype)
+    st = fek.init_state(md, CV, dtype=dtype)
+    st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
+    sync(st.sig)
+    kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
+    t0 = time.perf_counter()
+    st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
+                                du0=d['du'], kes0=kes0)
+    sync(st.sig)
+    dt = time.perf_counter() - t0
+    log(f'FE Newton step 2048x2048 (4.2M elements, {int(d["cg_iters"])} '
+        f'MG-CG iters): {dt * 1e3:.0f} ms -> {2048 * 2048 / dt:,.0f} '
+        f'element-updates/s')
+    fields['step_s_2048'] = round(dt, 4)
+
+    # --- 1024^2 3-material inclusion (train_hill.py physics at scale) ---
+    N = 1024
+    mat_h = FE.Material(num=1)
+    mat_h.elasticity(E=200.e3, nu=0.3)
+    mat_h.plasticity(sy=150., hill=[0.7, 1., 1.4, 1., 1., 1.], sdim=6)
+    mat_j = FE.Material(num=2)
+    mat_j.elasticity(E=200.e3, nu=0.3)
+    mat_j.plasticity(sy=150., sdim=3)
+    mat_el = FE.Material(num=3)
+    mat_el.elasticity(E=1.e3, nu=0.27)
+    mat_map = np.zeros((N, N), dtype=int)
+    mat_map[N // 2:, :] = 1
+    mat_map[N // 3: 2 * N // 3, N // 3: 2 * N // 3] = 2
+    bc = {'bot': {1: ('disp', 0.)}, 'left': {}, 'right': {},
+          'top': {1: ('disp', 0.002 * 4.)},
+          'nodes': ((0, 0, 0, 'disp', 0.),)}
+    md = fek.rect_mesh(N, N, LX=4., LY=4., bc=bc, mat_map=mat_map,
+                       dtype=dtype)
+    dms = tuple(con.device_material_from(m, dtype=dtype)
+                for m in (mat_h, mat_j, mat_el))
+    CVs = tuple(np.asarray(m.CV, float) for m in (mat_h, mat_j, mat_el))
+    st = fek.init_state(md, CVs, dtype=dtype)
+    st, d = fek.load_step_split(md, st, dms, CVs, 0.25, n_inner=2)
+    sync(st.sig)
+    kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
+    t0 = time.perf_counter()
+    st, d = fek.load_step_split(md, st, dms, CVs, 0.25, n_inner=2,
+                                du0=d['du'], kes0=kes0)
+    sync(st.sig)
+    dt = time.perf_counter() - t0
+    log(f'FE Newton step 1024x1024 3-material inclusion '
+        f'({int(d["cg_iters"])} MG-CG iters): {dt * 1e3:.0f} ms')
+    fields['step_s_1024_inclusion'] = round(dt, 4)
+    return fields
+
+
 def main():
     from pylabfea_tpu.ops import constitutive as con
     from __graft_entry__ import _elastic_cv
@@ -133,7 +265,6 @@ def main():
     # BASELINE.json, recorded as extra fields of the JSON line
     fe_fields = {}
     try:
-        import os
         if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
             from pylabfea_tpu.ops import fe_kernels as fek
             NB = int(os.environ.get('PYLABFEA_BENCH_FE_N', '1024'))
@@ -143,10 +274,12 @@ def main():
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
             sync(st.sig)
             # timed step in the production configuration: warm-started
-            # from the previous increment (equal fractions)
+            # from the previous increment (equal fractions), hierarchy
+            # threaded when the tangent field carried over unchanged
+            kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
             t0 = time.perf_counter()
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
-                                        du0=d['du'])
+                                        du0=d['du'], kes0=kes0)
             sync(st.sig)
             dt_fe = time.perf_counter() - t0
             log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
@@ -158,6 +291,18 @@ def main():
                          "cg_iters": int(d["cg_iters"])}
     except Exception as e:  # never break the headline metric
         log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
+
+    try:
+        if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
+            fe_fields.update(scale_fields(dtype, CV))
+    except Exception as e:
+        log(f'scale benchmark skipped: {type(e).__name__}: {e}')
+
+    try:
+        if os.environ.get('PYLABFEA_BENCH_REF', '1') == '1':
+            fe_fields.update(ref_solve_fields(dtype))
+    except Exception as e:
+        log(f'reference-solve benchmark skipped: {type(e).__name__}: {e}')
 
     vs = thr / thr_host
     print(json.dumps({

@@ -518,16 +518,45 @@ def _flow_tan(m: DeviceMaterial, sig, peeq, CV, deps, epl):
     return pdot, Ct, kh_full
 
 
+def _inv3x3(A):
+    """Closed-form 3x3 inverse (adjugate over determinant).
+
+    TPU's LuDecomposition custom call implements float32 only, so
+    ``jnp.linalg.inv`` breaks the float64-on-TPU validation path; the
+    closed form is dtype-generic and cheaper than a (batched) LU anyway."""
+    c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+    c01 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+    c02 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+    c10 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+    c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+    c12 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+    c20 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+    c21 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+    c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    det = (A[..., 0, 0] * c00 + A[..., 0, 1] * c01 + A[..., 0, 2] * c02)
+    rows = jnp.stack([jnp.stack([c00, c10, c20], axis=-1),
+                      jnp.stack([c01, c11, c21], axis=-1),
+                      jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+    return rows / det[..., None, None]
+
+
+def _solve3x3(A, b):
+    """Closed-form solve of (..., 3, 3) @ x = (..., 3) — see ``_inv3x3``."""
+    return jnp.einsum('...ij,...j->...i', _inv3x3(A), b)
+
+
 def _compliance(CV):
     """Pseudo-compliance used by the excess-stress correction (handles
     plane-stress CV with empty rows)."""
     SV = jnp.zeros_like(CV)
     # build on host shapes: CV is concrete only at trace time; use where
     full3 = CV[2, 2] > 1.
-    inv3 = jnp.linalg.inv(jnp.where(full3, CV[0:3, 0:3],
-                                    CV[0:3, 0:3] + jnp.diag(
-                                        jnp.array([0., 0., 1.], CV.dtype))))
-    inv2 = jnp.linalg.inv(CV[0:2, 0:2])
+    inv3 = _inv3x3(jnp.where(full3, CV[0:3, 0:3],
+                             CV[0:3, 0:3] + jnp.diag(
+                                 jnp.array([0., 0., 1.], CV.dtype))))
+    d2 = CV[0, 0] * CV[1, 1] - CV[0, 1] * CV[1, 0]
+    inv2 = jnp.stack([jnp.stack([CV[1, 1], -CV[0, 1]]),
+                      jnp.stack([-CV[1, 0], CV[0, 0]])]) / d2
     top = jnp.where(full3, inv3,
                     jnp.zeros((3, 3), CV.dtype).at[0:2, 0:2].set(inv2))
     SV = SV.at[0:3, 0:3].set(top)
@@ -607,7 +636,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
         outer = d[:, :, None] * d[:, None, :]
         G = outer * (1. - eye3) + s2[:, None, None] * eye3
         Gsafe = G + eye3 * jnp.where(s2 < 1e-30, 1., 0.)[:, None, None]
-        yv = jnp.linalg.solve(Gsafe, dsig_x[:, 0:3, None]).squeeze(-1)
+        yv = _solve3x3(Gsafe, dsig_x[:, 0:3])
         yv = jnp.where((s2 > 1e-30)[:, None], yv, 0.)
         # x = A^T y: x0=d0*y0, x1=d1*y1, x2=d2*y2, x3=d2*y1+d1*y2,
         # x4=d2*y0+d0*y2, x5=d1*y0+d0*y1
