@@ -165,10 +165,10 @@ def scale_fields(dtype, CV):
     st = fek.init_state(md, CV, dtype=dtype)
     st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
     sync(st.sig)
-    kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
     t0 = time.perf_counter()
     st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
-                                du0=d['du'], kes0=kes0)
+                                du0=d['du'], kes0=d.get('kes'),
+                                dst0=d['dstiff'])
     sync(st.sig)
     dt = time.perf_counter() - t0
     log(f'FE Newton step 2048x2048 (4.2M elements, {int(d["cg_iters"])} '
@@ -200,16 +200,45 @@ def scale_fields(dtype, CV):
     st = fek.init_state(md, CVs, dtype=dtype)
     st, d = fek.load_step_split(md, st, dms, CVs, 0.25, n_inner=2)
     sync(st.sig)
-    kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
     t0 = time.perf_counter()
     st, d = fek.load_step_split(md, st, dms, CVs, 0.25, n_inner=2,
-                                du0=d['du'], kes0=kes0)
+                                du0=d['du'], kes0=d.get('kes'),
+                                dst0=d['dstiff'])
     sync(st.sig)
     dt = time.perf_counter() - t0
     log(f'FE Newton step 1024x1024 3-material inclusion '
         f'({int(d["cg_iters"])} MG-CG iters): {dt * 1e3:.0f} ms')
     fields['step_s_1024_inclusion'] = round(dt, 4)
     return fields
+
+
+def phase_fields(md, st, d, dm, CV, reps=3):
+    """Per-phase breakdown of the production step (the three jitted
+    programs of ``load_step_split``), published as JSON fields so perf
+    work targets the dominant phase (tools/profile_step.py interactive
+    twin).  Everything is warm here — the step benchmark just ran."""
+    from pylabfea_tpu.ops import fe_kernels as fek
+
+    def timed(fn):
+        out = fn()
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        sync(out)
+        return (time.perf_counter() - t0) / reps
+
+    t_h = timed(lambda: fek._hier_kes_jit(md, st.elstiff))
+    kes = fek._hier_kes_jit(md, st.elstiff)
+    t_s = timed(lambda: fek._mg_solve_jit(md, kes, md.fixed_val * 0.25,
+                                          md.force * 0.25, 1.e-6, 100,
+                                          d['du']))
+    t_r = timed(lambda: fek._respond_and_update(md, st, dm, CV, d['du'],
+                                                True, 4))
+    log(f'phases: hierarchy {t_h * 1e3:.1f} ms, warm solve '
+        f'{t_s * 1e3:.1f} ms, response {t_r * 1e3:.1f} ms')
+    return {'phase_hier_s': round(t_h, 4), 'phase_solve_s': round(t_s, 4),
+            'phase_resp_s': round(t_r, 4)}
 
 
 def main():
@@ -276,10 +305,10 @@ def main():
             # timed step in the production configuration: warm-started
             # from the previous increment (equal fractions), hierarchy
             # threaded when the tangent field carried over unchanged
-            kes0 = d.get('kes') if float(d['dstiff']) <= 1e-3 else None
             t0 = time.perf_counter()
             st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
-                                        du0=d['du'], kes0=kes0)
+                                        du0=d['du'], kes0=d.get('kes'),
+                                        dst0=d['dstiff'])
             sync(st.sig)
             dt_fe = time.perf_counter() - t0
             log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
@@ -289,6 +318,7 @@ def main():
             fe_fields = {"mesh": f"{NB}x{NB}", "step_s": round(dt_fe, 4),
                          "fe_element_updates_per_s": float(NB * NB / dt_fe),
                          "cg_iters": int(d["cg_iters"])}
+            fe_fields.update(phase_fields(md, st, d, dm, CV))
     except Exception as e:  # never break the headline metric
         log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
 

@@ -434,14 +434,16 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     epgl = [np.zeros(6)]
     du0 = None
     kes0 = None
+    dst0 = None
     for _ in range(nsteps):
         state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
                                           n_inner=n_inner, nsub=nsub,
                                           fast=fast, du0=du0,
-                                          cg_tol=cg_tol, kes0=kes0)
+                                          cg_tol=cg_tol, kes0=kes0,
+                                          dst0=dst0)
         du0 = diag['du']
-        kes0 = diag.get('kes') \
-            if float(diag['dstiff']) <= 1.e-3 else None
+        kes0 = diag.get('kes')
+        dst0 = diag['dstiff']
         sgl.append(np.asarray(diag['glob_sig'], dtype=float))
         egl.append(np.asarray(diag['glob_eps'], dtype=float))
         epgl.append(np.asarray(diag['glob_epl'], dtype=float))

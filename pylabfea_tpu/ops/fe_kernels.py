@@ -771,6 +771,25 @@ def _hier_kes_jit(md: MeshData, elstiff):
                                                attach_inv=False))
 
 
+@jax.jit
+def _hier_kes_cond_jit(md: MeshData, elstiff, kes_prev, dst):
+    """Device-side conditional hierarchy rebuild: Galerkin-coarsen only
+    when the tangent update actually replaced element stiffnesses
+    (``dst > 1e-3`` — the same threshold the update itself applies, so
+    ``dst <= 1e-3`` means ``elstiff`` is bitwise the field ``kes_prev``
+    was coarsened from).  Keeping the decision on device lets the
+    equilibrium loop queue solve/response rounds back-to-back with no
+    host readback between them — a ``float(dst)`` here would drain the
+    device pipeline once per inner iteration."""
+    from pylabfea_tpu.ops import multigrid as mg
+
+    def rebuild(_):
+        return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff,
+                                                   attach_inv=False))
+
+    return jax.lax.cond(dst > 1.e-3, rebuild, lambda _: kes_prev, None)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
     from pylabfea_tpu.ops import multigrid as mg
@@ -884,7 +903,8 @@ def _gate_scale(md: MeshData, mat):
 
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
-                    nsub=4, du0=None, gate=False, max_inner=15, kes0=None):
+                    nsub=4, du0=None, gate=False, max_inner=15, kes0=None,
+                    dst0=None):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -905,12 +925,12 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     iteration count (>= 1 solve+response always runs).
 
     ``kes0`` optionally passes the PREVIOUS step's multigrid hierarchy
-    (``diag['kes']``): the tangent update only replaces element
-    stiffnesses whose change exceeds 1e-3, so when the previous step's
-    final response reported ``dstiff <= 1e-3`` the entering ``elstiff``
-    is bitwise the field that hierarchy was coarsened from, and the
-    Galerkin rebuild (~20 ms at 1024^2) is skipped for the first inner
-    solve.  Callers should pass it only under that condition (see
+    (``diag['kes']``) with ``dst0`` the device scalar ``diag['dstiff']``
+    of the response it came from: the first inner solve then reuses the
+    hierarchy through the device-side conditional rebuild (skipping the
+    ~20 ms Galerkin coarsening at 1024^2 whenever the tangent field
+    carried over bitwise unchanged) without any host readback — the
+    whole multi-step solve queues on the device with no sync (see
     ``solve_uniaxial``)."""
     from pylabfea_tpu.core.tensors import yf_tolerance
     bc_val = md.fixed_val * load_frac
@@ -919,6 +939,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     du = du0
     count = (max_inner if gate else n_inner) + 1
     kes = kes0
+    dst = dst0
     for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
@@ -926,10 +947,13 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             # the tangent update only replaces element stiffnesses whose
             # change exceeds 1e-3, so dst <= 1e-3 means elstiff is
             # UNCHANGED and the multigrid hierarchy (Galerkin coarsening,
-            # ~20 ms at 1024^2) can be reused verbatim (i == 0 reuses an
-            # entering kes0 unconditionally — the caller's contract)
-            if kes is None or (i > 0 and float(dst) > 1.e-3):
+            # ~20 ms at 1024^2) can be reused verbatim; the decision runs
+            # ON DEVICE (lax.cond) so no round-trip sync splits the
+            # pipeline between inner iterations
+            if kes is None:
                 kes = _hier_kes_jit(md, elstiff)
+            elif dst is not None:
+                kes = _hier_kes_cond_jit(md, elstiff, kes, dst)
             tol = cg_tol if cg_tol is not None else (
                 1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)
             x0 = jnp.zeros_like(bc_val) if du is None else du
@@ -978,17 +1002,19 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
     hist = []
     du0 = None
     kes0 = None
+    dst0 = None
     for _ in range(nsteps):
         if split:
             state, diag = load_step_split(
                 md, state, mat, CV, 1. / nsteps, n_inner=n_inner,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter, fast=fast, nsub=nsub,
-                du0=du0, gate=gate, kes0=kes0)
+                du0=du0, gate=gate, kes0=kes0, dst0=dst0)
             du0 = diag['du']  # equal fractions: previous du ~ next du
-            # the hierarchy carries over only when the final response
-            # replaced no element stiffness (elstiff bitwise unchanged)
-            kes0 = diag.get('kes') \
-                if float(diag['dstiff']) <= 1.e-3 else None
+            # hand the hierarchy to the next step; the device-side
+            # conditional rebuild (keyed on dstiff) decides whether the
+            # entering tangent field still matches it — no host readback
+            kes0 = diag.get('kes')
+            dst0 = diag['dstiff']
         else:
             state, diag = load_step(md, state, mat, CV, 1. / nsteps,
                                     n_inner=n_inner, cg_tol=cg_tol,
