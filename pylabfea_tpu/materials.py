@@ -927,6 +927,30 @@ class Material(object):
         train_svc_jax(self, X_train, y_train, C=self.C_yf,
                       gamma=self.gam_yf, iters=iters)
 
+    def compress_svc(self, nsv=None, tol=1e-3, seed=0):
+        """Reduced-set compression of the trained ML yield function for
+        serving: re-expresses the SVC decision function over fewer RBF
+        centers (``ops.svc.reduce_svc`` — weighted k-means seeding +
+        RKHS-objective center refinement + exact kernel-ridge
+        coefficients).  Every inference pass (yf/grad/Hessian, host and
+        device, UMAT export) costs linearly in the SV count, so the
+        compression ratio is the constitutive-kernel speedup.
+
+        ``nsv`` fixes the center count; ``tol`` (used when ``nsv`` is
+        None) bounds the RELATIVE RKHS approximation error, which for the
+        RBF kernel bounds the decision-function deviation at EVERY stress
+        state.  Returns the achieved relative RKHS error.  The sklearn
+        classifier object (if any) is dropped — ``_svc`` is the store all
+        consumers read."""
+        if self._svc is None:
+            raise RuntimeError('compress_svc requires a trained ML yield '
+                               'function (train_SVC / setup_yf_SVM_6D)')
+        red, rel = svc_ops.reduce_svc(self._svc, n_out=nsv, tol=tol,
+                                      seed=seed)
+        self._svc = red
+        self.svm_yf = None
+        return rel
+
     def _svc_predict(self, X):
         """Class predictions from the trained SVC (backend-agnostic: the
         sklearn object if present, the SVCParams decision function else)."""

@@ -115,3 +115,46 @@ def test_export_import_MLparam(tmp_path):
     sig = FE.load_cases(0, 40) * 95.
     np.testing.assert_allclose(mat_in.calc_yf(sig), mat_ml.calc_yf(sig),
                                atol=1e-10)
+
+
+def test_reduce_svc_rkhs_bound_and_compression():
+    """Reduced-set SVC compression: the reported relative RKHS error must
+    bound the decision-function deviation everywhere (K(x,x)=1 for RBF),
+    and a trained Hill SVC must compress with the locus preserved."""
+    from pylabfea_tpu.ops import svc as svc_ops
+    ref = FE.Material()
+    ref.elasticity(E=200.e3, nu=0.3)
+    ref.plasticity(sy=150., hill=[1.2, 1., 0.8, 1., 1., 1.], sdim=6)
+    mat = FE.Material('ML')
+    mat.dev_only = False
+    mat.train_SVC(C=10, gamma=2.5, mat_ref=ref, Nlc=36, Nseq=25, Fe=0.1)
+    full = mat._svc
+    nsv_full = len(full.dual_coef)
+    a = np.asarray(full.dual_coef)
+    Kxx = svc_ops._rbf_kernel(np.asarray(full.support_vectors),
+                              np.asarray(full.support_vectors),
+                              float(full.gamma))
+    wnorm = float(np.sqrt(a @ Kxx @ a))
+
+    red, rel = svc_ops.reduce_svc(full, n_out=nsv_full * 3 // 4)
+    assert len(red.dual_coef) == nsv_full * 3 // 4
+    # the RKHS bound |f - f~| <= ||w - w~||_H holds at arbitrary states
+    rng = np.random.default_rng(7)
+    xs = rng.normal(0., 1.2, size=(3000, 6))
+    df = np.abs(svc_ops.decision_function(full, xs)
+                - svc_ops.decision_function(red, xs))
+    assert df.max() <= rel * wnorm * (1. + 1e-6)
+
+    # in-place compression preserves the yield locus: the uniaxial-x
+    # yield stress moves by less than 1% of sy
+    from scipy.optimize import fsolve
+    su = np.array([[1., 0., 0., 0., 0., 0.]])
+    x_full = fsolve(mat.find_yloc, np.array([150.]), args=(su,),
+                    xtol=1e-4)[0]
+    got = mat.compress_svc(nsv=nsv_full * 3 // 4)
+    assert got == rel
+    assert len(mat._svc.dual_coef) == nsv_full * 3 // 4
+    assert mat.svm_yf is None
+    x_red = fsolve(mat.find_yloc, np.array([150.]), args=(su,),
+                   xtol=1e-4)[0]
+    assert abs(x_red - x_full) < 0.01 * 150.
