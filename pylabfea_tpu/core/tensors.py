@@ -21,7 +21,13 @@ a_vec = np.array([1., -0.5, -0.5]) / np.sqrt(1.5)
 b_vec = np.array([0., 0.5, -0.5]) * np.sqrt(2)
 
 #: Plastic yielding is assumed when the yield function exceeds this tolerance.
-yf_tolerance = 5.e-3
+#: The default matches the reference implementation (basic.py ptol semantics);
+#: it also sets where inside the locus band the return map STOPS, so two runs
+#: in different arithmetic (f32 vs f64) legitimately differ by O(tolerance).
+#: For cross-precision validation set PYLABFEA_YF_TOL tighter (e.g. 1e-5) —
+#: the Newton projection typically needs only 1-2 extra passes.
+import os as _os
+yf_tolerance = float(_os.environ.get('PYLABFEA_YF_TOL', 5.e-3))
 
 _VOIGT_IDX = ((0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1))
 
