@@ -865,4 +865,41 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             0, nsub, sub_body,
             (sig, depl, f_end, any_plastic,
              jnp.zeros((N, 6, 6), dt)))
+
+    # Exact path secant (symmetric rank-one downdate of the elastic
+    # stiffness).  The FE equilibrium loop (fe_kernels.load_step*) is a
+    # SECANT iteration: it re-solves the FULL increment with K built from
+    # this return value, so its fixed point satisfies discrete
+    # equilibrium exactly only when grad @ deps == dsig holds per
+    # element.  The alpha-blended consistent tangent above only
+    # approximates that, leaving an O(blend error) equilibrium residual
+    # at fixed inner counts (measured ~3% spurious transverse stress on
+    # free-edge uniaxial loading).  With w = CV @ deps - dsig
+    # (= CV @ effective plastic strain increment),
+    #   C_sec = CV - w w^T / (w . deps)
+    # satisfies the secant equation identically, is symmetric, and is
+    # SPD iff w . deps > w^T CV^-1 w (Sherman-Morrison determinant
+    # criterion).  For ideal plasticity that margin is tiny by nature
+    # (den/q - 1 ~ elastic fraction of the step; the TRUE secant is
+    # near-singular along the flow direction — exactly like the khard=0
+    # consistent tangent), so instead of rejecting thin-margin lanes the
+    # denominator is clamped to (1+mu) q: the downdate then keeps a
+    # relative margin mu of directional stiffness and the secant stays
+    # exact whenever den exceeds the clamp.  Lanes with den <= 0
+    # (pathological non-proportional returns) keep the blended tangent.
+    # The clamp margin is dtype-aware: it floors the downdated tangent's
+    # smallest eigenvalue at ~mu * directional stiffness, i.e. caps the
+    # element condition number at ~1/mu — float32 CG stalls (and a
+    # stalled CG can diverge) beyond kappa ~ 1e3-1e4, while float64 can
+    # afford near-exact secants.  Lanes at the clamp trade O(mu) secant
+    # error for a solvable system.
+    mu = 1e-5 if dt == jnp.float64 else 1e-4
+    w = _mm(deps, CV.T) - (sig - sig0)
+    den = jnp.sum(w * deps, axis=-1)
+    q = jnp.sum(_mm(w, _compliance(CV).T) * w, axis=-1)
+    ok = any_plastic & (den > 0.) & (q > 0.)
+    dsafe = jnp.where(ok, jnp.maximum(den, (1. + mu) * q), 1.)
+    grad = jnp.where(ok[:, None, None],
+                     CV[None] - w[:, :, None] * w[:, None, :]
+                     / dsafe[:, None, None], grad)
     return f_end, sig, depl, grad
