@@ -420,13 +420,16 @@ def _write_back(model, md, state, sgl, egl, epgl):
 
 
 def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
-                    nsub=4, fast=True, cg_tol=None):
+                    nsub=4, fast=True, cg_tol=None, n_refine=0):
     """Solve the (supported subset of) host model with the device solver and
     write displacements, element states and global history back.
     ``fast=False`` selects the reference-faithful substepped return map
     instead of the cutting-plane projection (tighter host parity);
     ``cg_tol`` overrides the linear-solve tolerance (default 1e-11 for
-    float64, 1e-6 for float32)."""
+    float64, 1e-6 for float32); ``n_refine`` adds mixed-precision
+    iterative-refinement passes to each linear solve (f64 true residual
+    vs the unrounded operator, f32 correction — requires
+    ``jax_enable_x64`` for full effect, see ``fe_kernels.refine_du``)."""
     md, dm, CV = to_device(model, dtype=dtype)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
@@ -440,7 +443,7 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
                                           n_inner=n_inner, nsub=nsub,
                                           fast=fast, du0=du0,
                                           cg_tol=cg_tol, kes0=kes0,
-                                          dst0=dst0)
+                                          dst0=dst0, n_refine=n_refine)
         du0 = diag['du']
         kes0 = diag.get('kes')
         dst0 = diag['dstiff']

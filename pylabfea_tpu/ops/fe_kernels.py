@@ -246,7 +246,7 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     else:
         Bs = _quad_B(lx, ly)
     vel = lx * ly * thick
-    return MeshData(
+    md = MeshData(
         dofs=jnp.asarray(dofs, dtype=jnp.int32),
         B=jnp.asarray(Bs, dtype=dtype),
         Bsum=jnp.asarray(Bs.sum(axis=0), dtype=dtype),
@@ -258,6 +258,34 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         perm=jnp.asarray(perm),
         ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax),
         groups=groups)
+    # stash the UNROUNDED float64 geometry factors (B is computed in f64
+    # above): mixed-precision refinement evaluates its residual against
+    # the true operator, not the dtype-rounded one (see _m64_of)
+    M64 = (vel * 4.) * np.einsum('gai,gbj->ijab',
+                                 Bs.astype(np.float64),
+                                 Bs.astype(np.float64)).reshape(64, 36)
+    if len(_M64_CACHE) > 64:
+        _M64_CACHE.clear()
+    _M64_CACHE[id(md.fixed)] = (md.fixed, M64)
+    return md
+
+
+#: mesh -> float64 (64, 36) element-stiffness contraction matrix (true
+#: geometry factors); holds a reference to the keyed array so ids cannot
+#: be recycled.  Size-capped.
+_M64_CACHE = {}
+
+
+def _m64_of(md: MeshData):
+    """Float64 (64, 36) stiffness contraction matrix of a structured mesh.
+    Served from the build-time stash (exact f64 B tables); meshes built
+    outside ``rect_mesh`` fall back to upcasting the stored dtype-rounded
+    tables — refinement then floors at the operator-rounding error."""
+    hit = _M64_CACHE.get(id(md.fixed))
+    if hit is not None:
+        return hit[1]
+    B = np.asarray(md.B, np.float64)
+    return float(md.jacw) * np.einsum('gai,gbj->ijab', B, B).reshape(64, 36)
 
 
 _CORNERS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -823,6 +851,55 @@ def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
     return _merge(duT), res, it
 
 
+@jax.jit
+def _residual_f64_grid(md: MeshData, M64, elstiff, du64, force):
+    """True residual ``force - K @ du`` of the BC-embedded system,
+    evaluated in float64 against the TRUE operator: ``M64`` carries the
+    unrounded f64 geometry factors (``_m64_of``) and the dtype-rounded
+    tangent field is upcast exactly, so the residual measures the error
+    vs the f64 discretization, not vs its f32 rounding.  Zero on fixed
+    rows — ``du`` carries the prescribed values there exactly.
+
+    Full effect requires ``jax_enable_x64``; without it the casts are
+    no-ops and this degrades to an f32 recomputation (still a valid,
+    weaker, refinement residual)."""
+    f64 = jnp.float64
+    NX, NY = md.grid[:2]
+    els = elstiff_planes(md, elstiff).astype(f64)
+    Kp = jnp.einsum('kl,lxy->kxy', jnp.asarray(M64, f64), els,
+                    precision=jax.lax.Precision.HIGHEST).reshape(
+                        8, 8, NX, NY)
+    fixT = _split(md.fixed)
+    duT = _split(du64)
+    q = _scatter_planes(md, _contract_planes(Kp, _gather_planes(md, duT)))
+    return _merge(tuple(jnp.where(f, 0., fr.astype(f64) - qq)
+                        for f, fr, qq in zip(fixT, _split(force), q)))
+
+
+def refine_du(md: MeshData, kes, elstiff, du, bc_val, force, cg_tol,
+              cg_maxiter, n=1):
+    """Mixed-precision iterative refinement of a linear-solve result on
+    structured grids: compute the TRUE residual in float64 against the
+    unrounded operator (one widened K-apply — cheap), re-solve the
+    correction with the SAME f32 multigrid hierarchy, accumulate in
+    float64.  Each pass multiplies the displacement error by
+    ~kappa(K) * eps_f32, so one or two passes recover ~f64-quality
+    solutions from f32 solves — the production accuracy knob for TPU,
+    where native f64 is emulated and ~100x slower (see
+    tools/acc_mixed.py / ACCURACY.md)."""
+    dt = du.dtype
+    M64 = _m64_of(md)
+    du64 = du.astype(jnp.float64)
+    zero_bc = jnp.zeros_like(bc_val)
+    for _ in range(n):
+        r = _residual_f64_grid(md, M64, elstiff, du64, force)
+        d, _, _ = _mg_solve_jit(md, kes, zero_bc, r.astype(dt),
+                                float(cg_tol), int(cg_maxiter),
+                                jnp.zeros_like(bc_val))
+        du64 = du64 + d.astype(jnp.float64)
+    return du64.astype(dt)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _cg_flat_jit(md: MeshData, elstiff, bc_val, force, cg_tol, cg_maxiter,
                  x0):
@@ -904,7 +981,7 @@ def _gate_scale(md: MeshData, mat):
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
                     nsub=4, du0=None, gate=False, max_inner=15, kes0=None,
-                    dst0=None):
+                    dst0=None, n_refine=0):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -960,6 +1037,12 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             du, cg_res, cg_it = _mg_solve_jit(md, kes, bc_val, force,
                                               float(tol), int(cg_maxiter),
                                               x0)
+            if n_refine:
+                # mixed-precision accuracy knob: f64 true residual vs the
+                # unrounded operator + f32 correction re-solve (same
+                # hierarchy)
+                du = refine_du(md, kes, elstiff, du, bc_val, force, tol,
+                               cg_maxiter, n=n_refine)
         else:
             du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
                                              cg_tol, cg_maxiter, x0=du)
@@ -991,7 +1074,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
 def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
                    n_inner=3, dtype=jnp.float32, cg_tol=None,
                    cg_maxiter=2000, fast=True, nsub=4, split=True,
-                   gate=False):
+                   gate=False, n_refine=0):
     """Host outer loop: apply the boundary displacement in ``nsteps`` equal
     increments; returns (final state, per-step global stress/strain).
     ``split=True`` (default) uses the split-program step — fast compiles
@@ -1008,7 +1091,7 @@ def solve_uniaxial(md: MeshData, mat: con.DeviceMaterial, CV, nsteps=20,
             state, diag = load_step_split(
                 md, state, mat, CV, 1. / nsteps, n_inner=n_inner,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter, fast=fast, nsub=nsub,
-                du0=du0, gate=gate, kes0=kes0, dst0=dst0)
+                du0=du0, gate=gate, kes0=kes0, dst0=dst0, n_refine=n_refine)
             du0 = diag['du']  # equal fractions: previous du ~ next du
             # hand the hierarchy to the next step; the device-side
             # conditional rebuild (keyed on dstiff) decides whether the

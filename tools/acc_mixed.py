@@ -25,11 +25,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 MODE = os.environ.get('PYLABFEA_ACC_MODE', 'f32')
 CGTOL = os.environ.get('PYLABFEA_ACC_CGTOL')
 NSUB = int(os.environ.get('PYLABFEA_ACC_NSUB', '4'))
+GATE = os.environ.get('PYLABFEA_ACC_GATE') == '1'
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 import jax  # noqa: E402
 
-if MODE == 'f64':
+if MODE in ('f64', 'mixed'):
+    # 'mixed' keeps every array float32 but enables x64 so the
+    # iterative-refinement residual (fe_kernels.refine_du) can widen
     jax.config.update('jax_enable_x64', True)
 if os.environ.get('PYLABFEA_ACC_CPU') == '1':
     jax.config.update('jax_platforms', 'cpu')
@@ -60,11 +63,13 @@ def main():
     md = fek.rect_mesh(N, N, uniax='y', eps_tot=0.004, dtype=dtype)
     t0 = time.perf_counter()
     st, hist = fek.solve_uniaxial(md, mat, CV, nsteps=8, n_inner=2,
-                                  dtype=dtype, cg_tol=cg_tol, nsub=NSUB)
+                                  dtype=dtype, cg_tol=cg_tol, nsub=NSUB,
+                                  gate=GATE,
+                                  n_refine=1 if MODE == 'mixed' else 0)
     sig = np.asarray(hist[-1][0], np.float64)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        'mode': MODE, 'N': N, 'cg_tol': cg_tol, 'nsub': NSUB,
+        'mode': MODE, 'N': N, 'cg_tol': cg_tol, 'nsub': NSUB, 'gate': GATE,
         'platform': jax.devices()[0].platform,
         'sig_yy': float(sig[1]), 'sig': sig.tolist(),
         'wall_s': round(dt, 2)}))
