@@ -200,20 +200,49 @@ The parity claim has three tiers:
 """
 
 F32_SECTION = """
-## Device float32 on TPU (production) — measured deviations
+## Production float32 — precision ledger (identical configs, round 3)
 
-| workload | f64 reference value | f32 TPU value | rel dev | provenance |
-|---|---|---|---|---|
-| 256^2 Hill-6p uniaxial, 8 warm-started steps: glob sig_yy | 192.07 (CPU f64) | 193.39 | 6.9e-3 | verification run, v5e, 2026-08-16 |
-| 256^2 3-material inclusion, 8 steps: glob sig_yy | 123.9 (CPU f64, 48^2-extrapolated physics) | 123.83 | ~1e-3 | examples/inclusion_tpu.py, v5e |
-| SVC yield-onset stress (return-map marching) | CPU f64 | f32 HIGHEST-precision matmuls | ~3e-5 | BENCH_NOTES.md "Matmul precision" |
-| 1024^2 elastic homogenized stiffness | CPU f64 | f32 MG-CG | ~3e-3 | BENCH_NOTES.md |
-| dryrun multichip glob_sig vs single-chip | 178.97 | 178.48 (8-way strip) | 2.7e-3 | __graft_entry__ runs |
+Every row below runs the IDENTICAL mesh / step count / solver config in
+both precisions (device kernels, `tools/acc_mixed.py` and inline
+harnesses, 2026-08-17), so deviations measure arithmetic alone — unlike
+the round-2 table, which compared different discretizations.  Uniaxial
+workload: Hill [0.7,1,1.4], sy=150, eps_tot=0.004, 8 warm-started steps,
+production n_inner=2 / nsub=4.
 
-f32 deviations are set by kernel arithmetic (the bf16-default matmul was
-rejected: 3.5% stress errors — see `ops/constitutive.py:_rbf_d2`); for
-<= 1e-6 work run the same device kernels in float64 (CPU or
-`jax_enable_x64` where supported), as the table above does.
+| quantity (f32 vs f64, same config) | f64 | f32 | rel dev |
+|---|---|---|---|
+| 48^2 3-material inclusion golden (well-posed), glob sig_yy | 127.08481 | 127.09908 | **1.1e-4** |
+| ... element stress field, max deviation / max stress | — | — | 2.9e-3 |
+| 256^2 uniax glob sig_yy (cg_tol 1e-6) | 188.18354 | 188.08086 | 5.5e-4 |
+| 256^2 uniax glob sig_yy (cg_tol 1e-8) | 188.18354 | 188.14532 | 2.0e-4 |
+| 256^2 linear-solve displacement error (elastic, vs f64 operator) | — | 1.8e-4 | kappa * eps_f32 |
+| ... with one `n_refine` mixed-precision pass | — | 6.9e-8 | f32 repr. floor |
+| converged (gated) equilibrium `|sig_xx|/sig_yy`, 16^2 | 2e-8 | 8e-5 | — |
+
+The `n_refine` knob (`fe_kernels.refine_du`) evaluates the true residual
+in float64 against the UNROUNDED operator and re-solves the correction
+with the same f32 multigrid hierarchy: one pass removes the
+kappa-amplified operator-rounding error that CG-tolerance tightening
+cannot (requires `jax_enable_x64`; on TPU the f64 work is one widened
+K-apply per pass, not an f64 solve).
+
+**Bifurcation caveat**: the homogeneous free-edge uniaxial workload is
+symmetry-degenerate — at >= 256^2 float32 noise seeds a real
+localization mode (element sig_zz spread 72..76.3, std 0.99, vs a
+uniform field in f64 / at 16^2), moving the MEAN out-of-plane stress by
+~1.8% while in-plane equilibrium quantities stay at ~5e-4.  That is a
+property of the workload (an eigenmode of the homogeneous problem), not
+solver error; the well-posed inclusion row above is the representative
+precision figure.
+
+Real-TPU rows (v5e, to re-measure after the round-3 secant-tangent
+change — the pre-secant values no longer represent the shipped solver):
+SVC yield-onset stress vs CPU f64 ~3e-5 (HIGHEST-precision matmuls; the
+bf16 default was rejected at 3.5% error, see BENCH_NOTES.md); f64-on-TPU
+(emulated) matched CPU f64 to 2.4e-13 at 256^2 in 377 s.
+
+For <= 1e-6 work run the same device kernels in float64 (CPU, or TPU
+emulation at ~100x), as the tier-2 table above does.
 """
 
 
