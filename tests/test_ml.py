@@ -158,3 +158,15 @@ def test_reduce_svc_rkhs_bound_and_compression():
     x_red = fsolve(mat.find_yloc, np.array([150.]), args=(su,),
                    xtol=1e-4)[0]
     assert abs(x_red - x_full) < 0.01 * 150.
+
+    # the compressed material drops straight into the device path: device
+    # yf matches the host decision function on the reduced center set
+    import jax.numpy as jnp
+    from pylabfea_tpu.ops import constitutive as con
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    assert dm.sv.shape[0] == nsv_full * 3 // 4
+    sig6 = FE.load_cases(0, 25) * 120.
+    f_host = mat.calc_yf(sig6)
+    f_dev = np.asarray(con.yf(dm, jnp.asarray(sig6),
+                              jnp.zeros(len(sig6))))
+    np.testing.assert_allclose(f_dev, f_host, atol=1e-10)
