@@ -341,7 +341,8 @@ def main():
         log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
 
     try:
-        if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
+        if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1' \
+                and os.environ.get('PYLABFEA_BENCH_SCALE', '1') == '1':
             fe_fields.update(scale_fields(dtype, CV))
     except Exception as e:
         log(f'scale benchmark skipped: {type(e).__name__}: {e}')
