@@ -62,9 +62,13 @@ def _tpu_in_env():
         return False
     if "tpu" in plats or "axon" in plats:
         return True
-    return any(v in _os.environ for v in
-               ("TPU_NAME", "TPU_WORKER_ID", "TPU_LIBRARY_PATH",
-                "TPU_ACCELERATOR_TYPE", "TPU_TOPOLOGY", "PJRT_DEVICE"))
+    if any(v in _os.environ for v in
+           ("TPU_NAME", "TPU_WORKER_ID", "TPU_LIBRARY_PATH",
+            "TPU_ACCELERATOR_TYPE", "TPU_TOPOLOGY")):
+        return True
+    # PJRT_DEVICE is a SELECTOR whose value may be CPU/GPU (torch_xla
+    # convention) — only its value counts as a TPU signal
+    return _os.environ.get("PJRT_DEVICE", "").strip().upper() == "TPU"
 
 
 if _cache_dir is None and _tpu_in_env():

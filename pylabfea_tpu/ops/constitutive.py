@@ -545,6 +545,34 @@ def _solve3x3(A, b):
     return jnp.einsum('...ij,...j->...i', _inv3x3(A), b)
 
 
+def _inv6x6_spd(CV):
+    """Dtype-generic closed-form inverse of a (possibly fully coupled)
+    6x6 elastic tensor: Schur complement over 3x3 blocks built on
+    ``_inv3x3`` (TPU's LU custom call is float32-only, so
+    ``jnp.linalg.inv`` is off-limits on the f64-on-TPU validation path).
+    Rows/columns with an empty diagonal (plane-stress reduced CV) are
+    decoupled and regularized to identity, making this a pseudo-inverse
+    on the active subspace.  Used by the secant-downdate SPD criterion,
+    which needs the TRUE w^T CV^-1 w for fitted 21-coefficient tensors
+    with normal-shear coupling — the block-diagonal ``_compliance``
+    underestimates it there."""
+    diag = jnp.diagonal(CV)
+    empty = jnp.abs(diag) <= 1.
+    keep = jnp.where(empty, 0., 1.).astype(CV.dtype)
+    fill = jnp.where(empty, 1., 0.).astype(CV.dtype)
+    C = CV * (keep[:, None] * keep[None, :]) + jnp.diag(fill)
+    A, B = C[0:3, 0:3], C[0:3, 3:6]
+    Bt, D = C[3:6, 0:3], C[3:6, 3:6]
+    Ai = _inv3x3(A)
+    Si = _inv3x3(D - Bt @ Ai @ B)
+    TR = -Ai @ B @ Si
+    TL = Ai - TR @ Bt @ Ai
+    top = jnp.concatenate([TL, TR], axis=1)
+    bot = jnp.concatenate([TR.T, Si], axis=1)
+    return jnp.concatenate([top, bot], axis=0) * (keep[:, None]
+                                                  * keep[None, :])
+
+
 def _compliance(CV):
     """Pseudo-compliance used by the excess-stress correction (handles
     plane-stress CV with empty rows)."""
@@ -896,7 +924,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     mu = 1e-5 if dt == jnp.float64 else 1e-4
     w = _mm(deps, CV.T) - (sig - sig0)
     den = jnp.sum(w * deps, axis=-1)
-    q = jnp.sum(_mm(w, _compliance(CV).T) * w, axis=-1)
+    q = jnp.sum(_mm(w, _inv6x6_spd(CV).T) * w, axis=-1)
     ok = any_plastic & (den > 0.) & (q > 0.)
     dsafe = jnp.where(ok, jnp.maximum(den, (1. + mu) * q), 1.)
     grad = jnp.where(ok[:, None, None],

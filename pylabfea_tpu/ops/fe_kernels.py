@@ -264,26 +264,39 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
     M64 = (vel * 4.) * np.einsum('gai,gbj->ijab',
                                  Bs.astype(np.float64),
                                  Bs.astype(np.float64)).reshape(64, 36)
-    if len(_M64_CACHE) > 64:
-        _M64_CACHE.clear()
-    _M64_CACHE[id(md.fixed)] = (md.fixed, M64)
+    if len(_M64_CACHE) > 256:
+        # evict the oldest half (insertion-ordered dict); never clear
+        # wholesale — live fine meshes must keep their exact factors
+        for k in list(_M64_CACHE)[:128]:
+            del _M64_CACHE[k]
+    # key from HOST data (rect_mesh may run inside a jit trace via
+    # multigrid.coarsen_mesh, where md's arrays are tracers), cast to the
+    # mesh dtype so _m64_of reconstructs the identical key from md
+    npdt = np.dtype(dtype)
+    _M64_CACHE[(np.asarray(Bs, npdt).tobytes(),
+                float(npdt.type(vel)))] = M64
     return md
 
 
-#: mesh -> float64 (64, 36) element-stiffness contraction matrix (true
-#: geometry factors); holds a reference to the keyed array so ids cannot
-#: be recycled.  Size-capped.
+#: geometry key -> float64 (64, 36) element-stiffness contraction matrix
+#: (true f64 geometry factors).  Keyed by VALUE (the dtype-cast B bytes +
+#: element volume), so the multigrid coarse-level rect_mesh calls made
+#: while tracing hierarchy programs add at most one entry per distinct
+#: element geometry instead of polluting an identity-keyed cache.
 _M64_CACHE = {}
 
 
 def _m64_of(md: MeshData):
     """Float64 (64, 36) stiffness contraction matrix of a structured mesh.
-    Served from the build-time stash (exact f64 B tables); meshes built
-    outside ``rect_mesh`` fall back to upcasting the stored dtype-rounded
-    tables — refinement then floors at the operator-rounding error."""
-    hit = _M64_CACHE.get(id(md.fixed))
+    Served from the build-time stash (exact f64 B tables; host-concrete
+    ``md`` only — callers are host-level like ``refine_du``); meshes
+    built outside ``rect_mesh`` fall back to upcasting the stored
+    dtype-rounded tables — refinement then floors at the
+    operator-rounding error."""
+    hit = _M64_CACHE.get((np.asarray(md.B).tobytes(),
+                          float(np.asarray(md.vel))))
     if hit is not None:
-        return hit[1]
+        return hit
     B = np.asarray(md.B, np.float64)
     return float(md.jacw) * np.einsum('gai,gbj->ijab', B, B).reshape(64, 36)
 
@@ -1027,9 +1040,11 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             # ~20 ms at 1024^2) can be reused verbatim; the decision runs
             # ON DEVICE (lax.cond) so no round-trip sync splits the
             # pipeline between inner iterations
-            if kes is None:
+            if kes is None or dst is None:
+                # no hierarchy, or a caller-supplied kes0 of unknown
+                # freshness (kes0 without dst0): rebuild
                 kes = _hier_kes_jit(md, elstiff)
-            elif dst is not None:
+            else:
                 kes = _hier_kes_cond_jit(md, elstiff, kes, dst)
             tol = cg_tol if cg_tol is not None else (
                 1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)

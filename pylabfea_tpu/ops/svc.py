@@ -201,8 +201,17 @@ def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
         # by Adam through jax autodiff — k-means pools mass geometrically
         # and plateaus an order of magnitude above what moved centers
         # reach in >=4 dims.  Trainer-scale op, pinned to the host CPU
-        # backend (the inner solve needs f64 LU, f32-only on TPU).
-        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        # backend when one exists (the inner solve wants f64 LU,
+        # f32-only on TPU); processes pinned to an accelerator-only
+        # platform (JAX_PLATFORMS=tpu) run it on the default device.
+        try:
+            _cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            _cpu = None
+        import contextlib
+        ctx = (jax.default_device(_cpu) if _cpu is not None
+               else contextlib.nullcontext())
+        with ctx:
             Z = _refine_centers(jnp.asarray(X), jnp.asarray(a),
                                 jnp.asarray(Z), g)
         Z = np.asarray(Z, float)

@@ -243,6 +243,22 @@ def test_response_fast_secant_tangent(hill_mat):
     # the f64 eigensolver on the near-singular ideal-plastic downdate)
     assert np.linalg.eigvalsh(g).min() > -1e-6 * float(CV[0, 0])
 
+    # the Sherman-Morrison criterion must use the TRUE CV^-1: with a
+    # fully-coupled 21-coefficient elastic tensor (normal-shear coupling,
+    # as fitted by dataio.get_elastic_coefficients) the block-diagonal
+    # pseudo-compliance underestimates q and admits indefinite downdates
+    rngc = np.random.default_rng(5)
+    L = rngc.normal(0., 1., (6, 6))
+    CVc = jnp.asarray(L @ L.T * 2.e4 + np.eye(6) * 1.5e5)
+    matc = FE.Material()
+    matc.elasticity(CV=np.asarray(CVc))
+    matc.plasticity(sy=100., sdim=6)
+    dmc = con.device_material_from(matc, dtype=jnp.float64)
+    _, sigc, deplc, gradc = con.response_fast(dmc, (sig0, epl0), deps,
+                                              CVc, 12, 4)
+    gc = np.asarray(gradc)
+    assert np.linalg.eigvalsh(gc).min() > -1e-6 * float(CVc[0, 0])
+
 
 def test_fast_path_equilibrium_free_edge():
     """Gated fast-path fixed point satisfies discrete equilibrium: on a

@@ -111,9 +111,12 @@ def main():
     rec.setdefault('sizes', {})
     for N in sizes:
         dt, sig, nst = ref_solve_time(REF, mat_ml, N)
-        rec['sizes'][str(N)] = {
+        # merge, don't replace: the per-size record may carry out-of-band
+        # keys (notably 'converged_glob_sig', the faithful-f64 parity
+        # anchor bench.py reads) that a re-run must not destroy
+        rec['sizes'].setdefault(str(N), {}).update({
             'solve_s': round(dt, 2), 'glob_sig': sig.tolist(),
-            'recorded_steps': nst, 'n_elements': N * N, 'nsv': nsv}
+            'recorded_steps': nst, 'n_elements': N * N, 'nsv': nsv})
         print(f'reference N={N}: solve {dt:.1f}s ({nst} recorded steps), '
               f'glob sig={sig[:3]}', flush=True)
         with open(JSON_PATH, 'w') as fh:
