@@ -1072,6 +1072,23 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             fmax = float(jnp.max(fy / _gate_scale(md, mat)))
             if fmax <= yf_tolerance * 1.0001 and float(dst) <= 1.e-3:
                 break
+    else:
+        if gate:
+            # reference behavior (model.py:1364): warn when the
+            # equilibrium loop exhausts its iteration budget with the
+            # yield excess still outside tolerance — typically a load
+            # increment so large the trial states leave the ML locus's
+            # training band (flat decision surface, vanishing gradient);
+            # cut the step size or raise nsub
+            fmax = float(jnp.max(fy / _gate_scale(md, mat)))
+            if fmax > yf_tolerance * 1.0001:
+                import warnings
+                warnings.warn(
+                    f'load_step_split: no convergence of the plasticity '
+                    f'algorithm within max_inner={max_inner} iterations '
+                    f'(normalized yield excess {fmax:.3g} > tolerance '
+                    f'{yf_tolerance:.1e}); reduce the load increment or '
+                    f'increase nsub', stacklevel=2)
     new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
                       eps=state.eps + deps, elstiff=elstiff)
     diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,

@@ -284,6 +284,21 @@ def test_fast_path_equilibrium_free_edge():
     assert gs[1] > 150.
 
 
+def test_gate_warns_on_nonconvergence(svc_mat):
+    """Reference parity (model.py:1364): when the gated equilibrium loop
+    exhausts max_inner with the yield excess still outside tolerance —
+    here a single load step 20x the yield strain, whose trial states sit
+    far outside the SVC training band where the decision surface is flat
+    — the solver must WARN instead of returning the bad state silently."""
+    dm = con.device_material_from(svc_mat, dtype=jnp.float32)
+    CV = np.asarray(svc_mat.CV)
+    md = fek.rect_mesh(8, 8, uniax='y', eps_tot=0.01, dtype=jnp.float32)
+    st = fek.init_state(md, CV, dtype=jnp.float32)
+    with pytest.warns(UserWarning, match='no convergence'):
+        fek.load_step_split(md, st, dm, CV, 1., n_inner=1, nsub=4,
+                            gate=True, max_inner=3)
+
+
 def test_refine_du_recovers_f64_accuracy():
     """Mixed-precision iterative refinement: an f32 MG-CG solve carries a
     kappa-amplified operator-rounding error; one refinement pass (f64
