@@ -41,7 +41,8 @@ def __getattr__(name):
     if name == "Material":
         from pylabfea_tpu.materials import Material
         return Material
-    if name in ("Data", "find_transition_index", "get_elastic_coefficients"):
+    if name in ("Data", "find_transition_index", "get_elastic_coefficients",
+                "ln_strain", "eng_strain", "interpolate_stress"):
         from pylabfea_tpu import dataio
         return getattr(dataio, name)
     if name in ("load_cases", "training_score", "create_test_sig",
@@ -60,6 +61,7 @@ def __getattr__(name):
 def __dir__():
     return sorted(set(globals()) | {
         "Model", "Material", "Data", "find_transition_index",
-        "get_elastic_coefficients", "load_cases", "training_score",
+        "get_elastic_coefficients", "ln_strain", "eng_strain",
+        "interpolate_stress", "load_cases", "training_score",
         "create_test_sig", "uniform_hypersphere", "int_sin_m", "primes",
         "bridge", "fit_svc_jax", "train_svc_jax"})

@@ -158,23 +158,28 @@ _RMAT_CACHE = {}
 
 def _restrict_mat(nn, dtype):
     """(nc, nn) full-weighting rows [.., 0.5, 1, 0.5, ..] at stride 2 —
-    the separable factor of the 3x3 transfer kernel as a dense matrix."""
+    the separable factor of the 3x3 transfer kernel as a dense matrix.
+
+    The cache holds the HOST (numpy) constant and the conversion runs per
+    call: ``jnp.asarray`` executed while tracing one jit program yields
+    that trace's constant, and caching it would poison every LATER trace
+    that shares a level size (observed: the 1024^2 step program filled
+    the (513, 1025) entry, then building the 2048^2 hierarchy — whose
+    second level is 1025-sized — died on UnexpectedTracerError)."""
     key = (nn, np.dtype(dtype).name)
-    hit = _RMAT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    nc = nn // 2 + 1
-    W = np.zeros((nc, nn), dtype)
-    for I in range(nc):
-        j = 2 * I
-        W[I, j] = 1.
-        if j - 1 >= 0:
-            W[I, j - 1] = .5
-        if j + 1 < nn:
-            W[I, j + 1] = .5
-    out = jnp.asarray(W)
-    _RMAT_CACHE[key] = out
-    return out
+    W = _RMAT_CACHE.get(key)
+    if W is None:
+        nc = nn // 2 + 1
+        W = np.zeros((nc, nn), dtype)
+        for I in range(nc):
+            j = 2 * I
+            W[I, j] = 1.
+            if j - 1 >= 0:
+                W[I, j - 1] = .5
+            if j + 1 < nn:
+                W[I, j + 1] = .5
+        _RMAT_CACHE[key] = W
+    return jnp.asarray(W)
 
 
 def restrict_mm(fine):
