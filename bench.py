@@ -32,6 +32,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_accelerator(timeout=240):
+    """The tunnel-attached TPU can wedge: computations dispatch but never
+    complete, so any readback hangs on a futex forever (BENCH_NOTES.md).
+    Probe it in a SUBPROCESS with a hard timeout before this process
+    commits its (un-reinitialisable) jax backend to it.  Returns True when
+    a trivial computation round-trips."""
+    import subprocess
+    code = ('import jax, jax.numpy as jnp; '
+            'print(float(jnp.float32(1.) + jnp.float32(2.)))')
+    try:
+        res = subprocess.run([sys.executable, '-c', code], timeout=timeout,
+                             capture_output=True, text=True)
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def sync(out):
     """Force completion of everything queued before reading the clock:
     on the tunnel-attached platform ``jax.block_until_ready`` does not
@@ -263,11 +280,26 @@ def main():
     from pylabfea_tpu.ops import constitutive as con
     from __graft_entry__ import _elastic_cv
 
+    wedged = False
+    if os.environ.get('PYLABFEA_BENCH_PROBE', '1') == '1' \
+            and not probe_accelerator():
+        # The attached accelerator never completed a trivial computation:
+        # fall back to the local CPU backend (config.update is required —
+        # env vars alone do not override an attached plugin) and shrink
+        # the workload so the benchmark still completes and reports,
+        # honestly flagged, instead of hanging the driver.
+        wedged = True
+        jax.config.update('jax_platforms', 'cpu')
+        os.environ.setdefault('PYLABFEA_BENCH_SCALE', '0')
+        os.environ.setdefault('PYLABFEA_BENCH_FE_N', '256')
+        log('accelerator probe FAILED (dispatch never completed) — '
+            'falling back to local CPU, scale rows off')
+
     platform = jax.devices()[0].platform
     dtype = jnp.float32
     log(f'platform: {platform}, devices: {jax.devices()}')
 
-    N = int(2 ** 20)  # 1M Gauss points / elements
+    N = int(2 ** 20) if not wedged else int(2 ** 18)
     dm, svc_np = flagship(dtype)
     CV = _elastic_cv(dtype)
     sy = 150.
@@ -354,13 +386,17 @@ def main():
         log(f'reference-solve benchmark skipped: {type(e).__name__}: {e}')
 
     vs = thr / thr_host
-    print(json.dumps({
+    rec = {
         "metric": "hill_ml_return_maps_per_s",
         "value": float(thr),
         "unit": "gauss_points/s",
         "vs_baseline": float(vs),
+        "platform": platform,
         **fe_fields,
-    }))
+    }
+    if wedged:
+        rec["tpu_wedged_cpu_fallback"] = True
+    print(json.dumps(rec))
 
 
 if __name__ == '__main__':
