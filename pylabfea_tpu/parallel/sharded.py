@@ -111,10 +111,42 @@ class StripMesh:
         # blocking is a plain reshape
         if mat_map is not None:
             ids = np.asarray(mat_map, dtype=np.int32).reshape(NX * NY)
-            self.mat_ids = jax.device_put(
-                jnp.asarray(ids.reshape(D, self.NXd * NY)), sh)
+            blocks = ids.reshape(D, self.NXd * NY)
+            self.mat_ids = jax.device_put(jnp.asarray(blocks), sh)
+            # capacity-padded per-material gather tables for the grouped
+            # return map: material k occupies a fixed per-strip capacity
+            # cap_k = max over strips of its local element count (rounded
+            # up to a sublane multiple), so every device runs the same
+            # program on a (cap_k, 6) batch of ONLY material-k rows.
+            # ``group_inv`` maps each local element to its (pass, lane)
+            # slot in the concatenated per-pass output, so results come
+            # back through one hazard-free gather instead of scatters.
+            NL = self.NXd * NY
+            nmat = int(ids.max()) + 1
+            inv = np.zeros((D, NL), dtype=np.int32)
+            idxs, caps = [], []
+            off = 0
+            for k in range(nmat):
+                rows = [np.nonzero(blocks[d] == k)[0] for d in range(D)]
+                top = max(len(w) for w in rows)
+                if top == 0:
+                    idxs.append(None)
+                    caps.append(0)
+                    continue
+                cap = -(-top // 8) * 8
+                idx = np.zeros((D, cap), dtype=np.int32)
+                for d, w in enumerate(rows):
+                    idx[d, :len(w)] = w
+                    inv[d, w] = off + np.arange(len(w), dtype=np.int32)
+                idxs.append(jax.device_put(jnp.asarray(idx), sh))
+                caps.append(cap)
+                off += cap
+            self.group_idx = tuple(idxs)
+            self.group_caps = tuple(caps)
+            self.group_inv = jax.device_put(jnp.asarray(inv), sh)
         else:
             self.mat_ids = None
+            self.group_idx = None
 
     def zeros_u(self):
         sh = NamedSharding(self.mesh, P('x'))
@@ -458,10 +490,10 @@ def cg_solve_strip(sm: StripMesh, el_blocks, rhs, x0, diag, tol=1e-8,
     return x, jnp.sqrt(gdot(r, r, sm.own)) / bnorm, it
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 11))
 def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
                     mat, load_frac=1.0, n_inner=2,
-                    cg_tol=1e-8, nsub=4, schwarz=2, CVs=None):
+                    cg_tol=1e-8, nsub=4, schwarz=2, CVs=None, grouped=True):
     """One load step on the strip-decomposed mesh: CG solve (halo-exchange
     K-apply), element-local batched return map (zero communication), tangent
     update, re-solve, final consistent response.  ``schwarz=2`` (default)
@@ -471,25 +503,68 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
     Multi-material strips: pass ``mat`` as a tuple of DeviceMaterials and
     ``CVs`` as the matching tuple of elastic stiffnesses; the mesh must
     carry per-element group ids (``StripMesh(mat_map=...)``).  The return
-    map then runs as a masked multi-pass — one pass per material over the
-    sharded element axis (masks are elementwise, so the passes stay
-    communication-free), which beats a global material-sort gather across
-    strips for the typical 2-3-material inclusion workloads.  Constitutive
-    cost is O(nmat * Nel) — every pass evaluates all elements (with the
-    wrong stiffness on foreign lanes before masking) — so for many
-    materials prefer the single-chip grouped-gather path
-    (``MeshData.perm/groups``), which stays O(Nel).
+    map then runs GROUPED: each material's elements are gathered into a
+    fixed per-strip capacity batch (``StripMesh.group_idx``, capacity =
+    the max local count over strips so every device runs the same
+    program), the per-material kernels run on only their own rows, and
+    results come back through one hazard-free inverse-permutation gather
+    — total constitutive cost O(sum_k cap_k) ~ O(Nel) for blocky material
+    maps, communication-free (elements never leave their strip).
+    ``grouped=False`` falls back to the masked multi-pass (one pass per
+    material over ALL elements, O(nmat * Nel)) — the right choice for
+    fine-interleaved maps where per-strip capacities degenerate toward
+    Nel each.
 
     Returns updated (sig, epl, du, diagnostics)."""
     multi = isinstance(mat, (tuple, list)) \
         and not isinstance(mat, con.DeviceMaterial)
     CV = elstiff_blocks.reshape(-1, 6, 6)[0]  # elastic reference (single)
     bc = tuple(v * load_frac for v in sm.fixed_val)
+    dt = sig_blocks.dtype
 
-    def respond(sig_rows, epl_rows, deps_rows):
+    def respond_grouped(sig_b, epl_b, deps_b):
+        """Per-material gather -> batched return map -> inverse gather."""
+        mats = list(mat)
+        live = [k for k in range(len(mats)) if sm.group_caps[k] > 0]
+        tabs = tuple(sm.group_idx[k] for k in live)
+
+        # check_vma=False: response_fast seeds its loop carries from
+        # literals (zeros), which the varying-manual-axes checker rejects
+        # against the device-varying outputs; the body is collective-free,
+        # so the check adds nothing here
+        @partial(shard_map, mesh=sm.mesh,
+                 in_specs=(P('x'), P('x'), P('x'), P('x'),
+                           (P('x'),) * len(tabs)),
+                 out_specs=(P('x'), P('x'), P('x'), P('x')),
+                 check_vma=False)
+        def body(sig_bb, epl_bb, deps_bb, inv_b, tab_b):
+            sig_l, epl_l, deps_l = sig_bb[0], epl_bb[0], deps_bb[0]
+            outs = []
+            for k, tab in zip(live, tab_b):
+                idx = tab[0]
+                CVk = jnp.asarray(CVs[k], dt)
+                outs.append(con.response_fast(
+                    mats[k], (sig_l[idx], epl_l[idx]), deps_l[idx],
+                    CVk, 12, nsub))
+            inv = inv_b[0]
+            cat = tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                        for i in range(4))
+            return tuple(c[inv][None] for c in cat)
+
+        return body(sig_b, epl_b, deps_b, sm.group_inv, tabs)
+
+    def respond(sig_b, epl_b, deps_b):
         if not multi:
-            return con.response_fast(mat, (sig_rows, epl_rows), deps_rows,
-                                     CV, 12, nsub)
+            return con.response_fast(
+                mat, (sig_b.reshape(-1, 6), epl_b.reshape(-1, 6)),
+                deps_b.reshape(-1, 6), CV, 12, nsub)
+        if grouped and getattr(sm, 'group_idx', None) is not None:
+            fy, sig_n, depl_n, grad = respond_grouped(sig_b, epl_b, deps_b)
+            return (fy.reshape(-1), sig_n.reshape(-1, 6),
+                    depl_n.reshape(-1, 6), grad.reshape(-1, 6, 6))
+        sig_rows = sig_b.reshape(-1, 6)
+        epl_rows = epl_b.reshape(-1, 6)
+        deps_rows = deps_b.reshape(-1, 6)
         ids = sm.mat_ids.reshape(-1)
         out = None
         for k, mk in enumerate(mat):
@@ -562,18 +637,14 @@ def strip_load_step(sm: StripMesh, elstiff_blocks, sig_blocks, epl_blocks,
     elstiff = elstiff_blocks
     for _ in range(n_inner):
         deps = deps_of(du)
-        fy, sig_n, depl_n, grad = respond(
-            sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6),
-            deps.reshape(-1, 6))
+        fy, sig_n, depl_n, grad = respond(sig_blocks, epl_blocks, deps)
         grad_b = grad.reshape(elstiff.shape)
         dst = jnp.linalg.norm((elstiff - grad_b).reshape(grad_b.shape[0], -1,
                                                          36), axis=2)
         elstiff = jnp.where((dst > 1e-3)[..., None, None], grad_b, elstiff)
         du, res, it = solve_with(elstiff, x0=du)
     deps = deps_of(du)
-    fy, sig_n, depl_n, grad = respond(
-        sig_blocks.reshape(-1, 6), epl_blocks.reshape(-1, 6),
-        deps.reshape(-1, 6))
+    fy, sig_n, depl_n, grad = respond(sig_blocks, epl_blocks, deps)
     sig_new = sig_n.reshape(sig_blocks.shape)
     epl_new = epl_blocks + depl_n.reshape(epl_blocks.shape)
     diag = {'cg_res': res, 'cg_iters': it,

@@ -163,3 +163,46 @@ def test_strip_multimaterial_inclusion_matches_single():
     epl_strip = np.asarray(epl1).reshape(-1, 6)
     epl_single = np.asarray(st.epl)
     assert np.abs(epl_strip - epl_single).max() < 1e-8
+
+    # the O(sum_k cap_k) grouped-gather pass (default) and the
+    # O(nmat * Nel) masked multi-pass integrate identical per-element
+    # constitutive updates — converged while_loop lanes are frozen
+    # exactly, so the two batchings must agree to rounding
+    sig_m, epl_m, _, d_m = sh.strip_load_step(sm, el0, sig0, epl0, dms,
+                                              0.8, 3, 1e-10, 4, 2,
+                                              CVs=CVs, grouped=False)
+    np.testing.assert_allclose(np.asarray(sig_m), np.asarray(sig1),
+                               rtol=0., atol=1e-9 * scale)
+    np.testing.assert_allclose(np.asarray(epl_m), np.asarray(epl1),
+                               rtol=0., atol=1e-12)
+
+
+def test_strip_group_tables():
+    """Capacity-padded gather tables: every element appears exactly once
+    as a valid lane, the inverse map round-trips, and capacities are the
+    per-strip maxima rounded to sublane multiples."""
+    NX, NY = 16, 4
+    mat_map = np.zeros((NX, NY), dtype=int)
+    mat_map[NX // 2:, :] = 1
+    mat_map[3:5, 1:3] = 2
+    sm = sh.StripMesh(NX, NY, n_devices=8, mat_map=mat_map)
+    blocks = np.asarray(mat_map.reshape(NX * NY)).reshape(
+        8, sm.NXd * sm.NY)
+    assert len(sm.group_idx) == 3
+    off = 0
+    covered = np.zeros((8, sm.NXd * sm.NY), dtype=bool)
+    inv = np.asarray(sm.group_inv)
+    for k in range(3):
+        cap = sm.group_caps[k]
+        top = max((blocks[d] == k).sum() for d in range(8))
+        assert cap == -(-top // 8) * 8
+        idx = np.asarray(sm.group_idx[k])
+        for d in range(8):
+            w = np.nonzero(blocks[d] == k)[0]
+            np.testing.assert_array_equal(idx[d, :len(w)], w)
+            np.testing.assert_array_equal(
+                inv[d, w], off + np.arange(len(w)))
+            assert not covered[d, w].any()
+            covered[d, w] = True
+        off += cap
+    assert covered.all()
