@@ -994,7 +994,7 @@ def _gate_scale(md: MeshData, mat):
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
                     nsub=4, du0=None, gate=False, max_inner=15, kes0=None,
-                    dst0=None, n_refine=0):
+                    dst0=None, n_refine=0, gate_dst_rtol=1e-4):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -1012,7 +1012,11 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     ``max_inner`` iterations.  Costs one scalar device sync per inner
     iteration; saves whole solve+response rounds on elastic or
     nearly-converged steps.  ``n_inner`` still sets the MINIMUM
-    iteration count (>= 1 solve+response always runs).
+    iteration count (>= 1 solve+response always runs).  The
+    tangent-stall half of the test is absolute (the reference's 1e-3)
+    in float64 and RELATIVE (``gate_dst_rtol * |CV|_F``, default 1e-4)
+    in float32, whose tangents oscillate at the rounding floor far
+    above the absolute threshold — see the inline comment.
 
     ``kes0`` optionally passes the PREVIOUS step's multigrid hierarchy
     (``diag['kes']``) with ``dst0`` the device scalar ``diag['dstiff']``
@@ -1030,6 +1034,44 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     count = (max_inner if gate else n_inner) + 1
     kes = kes0
     dst = dst0
+    if gate:
+        # tangent-stall exit threshold.  The element-stiffness change dst
+        # is an absolute Frobenius norm on entries of the elastic scale
+        # (~1e5 MPa for metals), so the reference's bare 1e-3 demands
+        # ~1e-8 RELATIVE agreement.  float64 secant tangents genuinely
+        # reach it (linear contraction ~0.1x/iteration) and the absolute
+        # test pins the exact fixed point — keep it.  float32 tangents
+        # CANNOT: they oscillate at O(eps * |CV|) ~ 1e-2 * |CV|_F * eps32
+        # >> 1e-3, so the criterion never fires and every plastic step
+        # burns the full max_inner budget chasing rounding noise while
+        # the yield excess converged many rounds earlier.  In f32 the
+        # exit therefore gates on gate_dst_rtol * |CV|_F (default 1e-4
+        # relative), and requires a DEEP hold (dst <= 0.1 * threshold)
+        # or two consecutive holds.  The default was swept on the
+        # REF_SOLVE parity BVP (plasticity is PATH-DEPENDENT: an eager
+        # exit on the yield-transition step commits plastic-increment
+        # error no later iteration can undo): rtol=1e-3 saved only ~8%
+        # of the inner rounds but drifted the converged-anchor parity
+        # 4.7e-3 -> 1.7e-2, while 1e-4 is parity-identical to the
+        # absolute test there (the threshold binds only at the f32
+        # noise floor) and still exits bifurcation-stalled workloads in
+        # ~a third of the absolute gate's rounds (flagship 48^2
+        # transition: 97 -> ~40 rounds/8 steps; the absolute test never
+        # fires on those).  gate_dst_rtol=0 forces the absolute test in
+        # any dtype.
+        if state.elstiff.dtype == jnp.float64:
+            dst_exit = 1.e-3
+        else:
+            if isinstance(mat, con.DeviceMaterial):
+                cv_scale = float(jnp.linalg.norm(jnp.asarray(CV, md.B.dtype)))
+            else:
+                cv_scale = max(
+                    float(jnp.linalg.norm(jnp.asarray(c, md.B.dtype)))
+                    for c in CV)
+            dst_exit = max(1.e-3, gate_dst_rtol * cv_scale)
+    held = False
+    strict_abs = gate and (state.elstiff.dtype == jnp.float64
+                           or gate_dst_rtol == 0.)
     for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
@@ -1070,8 +1112,12 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
             # scaled per element group by the yield strength —
             # conservative under hardening)
             fmax = float(jnp.max(fy / _gate_scale(md, mat)))
-            if fmax <= yf_tolerance * 1.0001 and float(dst) <= 1.e-3:
+            dv = float(dst)
+            dst_ok = (dv <= dst_exit) if strict_abs else (
+                dv <= 0.1 * dst_exit or (held and dv <= dst_exit))
+            if fmax <= yf_tolerance * 1.0001 and dst_ok:
                 break
+            held = dv <= dst_exit
     else:
         if gate:
             # reference behavior (model.py:1364): warn when the

@@ -274,14 +274,30 @@ def test_fast_path_equilibrium_free_edge():
     CV = np.asarray(hmat.CV)
     md = fek.rect_mesh(16, 16, uniax='y', eps_tot=0.004, dtype=jnp.float32)
     st = fek.init_state(md, CV, dtype=jnp.float32)
-    du0 = None
-    for _ in range(8):
-        st, d = fek.load_step_split(md, st, dm, CV, 1. / 8, n_inner=2,
-                                    nsub=4, du0=du0, gate=True)
-        du0 = d['du']
+    # count solve+response rounds: the f32 gate must exit on the relative
+    # two-hold tangent-stall test (~3-5 rounds/step) instead of chasing
+    # the absolute 1e-3 threshold that f32 tangents cannot reliably reach
+    # (max_inner burn = 8 steps x 16 rounds)
+    rounds = [0]
+    orig = fek._respond_and_update
+
+    def counting(*a, **k):
+        rounds[0] += 1
+        return orig(*a, **k)
+
+    fek._respond_and_update = counting
+    try:
+        du0 = None
+        for _ in range(8):
+            st, d = fek.load_step_split(md, st, dm, CV, 1. / 8, n_inner=2,
+                                        nsub=4, du0=du0, gate=True)
+            du0 = d['du']
+    finally:
+        fek._respond_and_update = orig
     gs = np.asarray(d['glob_sig'])
     assert abs(gs[0]) < 5e-4 * abs(gs[1])
     assert gs[1] > 150.
+    assert rounds[0] <= 48, f'gated inner rounds regressed: {rounds[0]}'
 
 
 def test_gate_warns_on_nonconvergence(svc_mat):
