@@ -201,7 +201,10 @@ def seq_hill(m: DeviceMaterial, sig):
                 6. * hp[4] * sh4 ** 2 +
                 6. * hp[5] * sh5 ** 2)
     I1 = m.drucker * jnp.sum(sig[..., 0:3], axis=-1) / 3.
-    return jnp.sqrt(I2) + I1
+    # safe_sqrt: value-identical, but a ZERO instead of NaN derivative at
+    # I2 == 0 — virgin-stress lanes otherwise poison reverse-mode shared-
+    # parameter gradients (ops.calibrate)
+    return jt.safe_sqrt(I2) + I1
 
 
 def svc_decision(m: DeviceMaterial, x):
@@ -756,8 +759,9 @@ def response_fast_chunked(m: DeviceMaterial, state, deps, CV, maxiter=12,
     return unb(fy), unb(s), unb(dp), unb(g)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
+                  fixed_trip=False):
     """Production return map — cutting-plane closest-point projection.
 
     Instead of translating the reference's substepped update (50 masked
@@ -773,6 +777,14 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
     ``nsub`` optional equal substeps follow the strain path more closely
     (the single projection is first-order in the increment size; nsub=3-4
     recovers the substepped reference within ~0.1% at typical FE steps).
+
+    ``fixed_trip=True`` runs the projection as a fixed ``maxiter``-trip
+    ``fori_loop`` instead of the early-exit ``while_loop``.  The VALUE is
+    identical (converged lanes take lam = 0 and are bitwise frozen; the
+    extra trips are no-ops), but the fixed-trip program is REVERSE-MODE
+    DIFFERENTIABLE (``lax.while_loop`` has no transpose rule) — the knob
+    ``ops.calibrate`` uses to autodiff stress responses w.r.t. material
+    parameters.
 
     Returns (f_end, sig, depl, algorithmic tangent).
     """
@@ -837,8 +849,12 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1):
             active = plastic & (jnp.abs(f) > toler)
             return active.any() & (it < maxiter)
 
-        sig, depl, f_end, a, kh, _ = jax.lax.while_loop(
-            cond, body, (sig_tr, depl_in, f_tr, a_tr, kh_tr, 0))
+        init = (sig_tr, depl_in, f_tr, a_tr, kh_tr, 0)
+        if fixed_trip:
+            sig, depl, f_end, a, kh, _ = jax.lax.fori_loop(
+                0, maxiter, lambda _, s: body(s), init)
+        else:
+            sig, depl, f_end, a, kh, _ = jax.lax.while_loop(cond, body, init)
         # lam == 0 for non-plastic lanes inside the loop, so masking is a
         # no-op safeguard (carried f/a stay consistent: those lanes never
         # moved off the trial state)

@@ -16,6 +16,19 @@ a_vec = np.array([1., -0.5, -0.5]) / np.sqrt(1.5)
 b_vec = np.array([0., 0.5, -0.5]) * np.sqrt(2)
 
 
+def safe_sqrt(x):
+    """sqrt with a ZERO (not NaN) derivative at x == 0.
+
+    Value-identical to ``jnp.sqrt`` for x >= 0 (exact 0 at 0).  Virgin
+    states (zero stress / zero plastic strain) sit exactly at the sqrt
+    kink; plain ``jnp.sqrt`` there emits an inf derivative that turns even
+    a ZERO cotangent into NaN and poisons reverse-mode parameter gradients
+    (``ops.calibrate``).  The double-``where`` keeps the unselected branch
+    out of both the value and the differentiation path."""
+    pos = x > 0.
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.)), 0.)
+
+
 def voigt_to_tensor(sv):
     """(..., 6) Voigt -> (..., 3, 3) symmetric tensor."""
     s = sv
@@ -31,7 +44,7 @@ def seq_j2_voigt(sig):
     d23 = sig[..., 1] - sig[..., 2]
     d31 = sig[..., 2] - sig[..., 0]
     sh = sig[..., 3] ** 2 + sig[..., 4] ** 2 + sig[..., 5] ** 2
-    return jnp.sqrt(0.5 * (d12 ** 2 + d23 ** 2 + d31 ** 2) + 3. * sh)
+    return safe_sqrt(0.5 * (d12 ** 2 + d23 ** 2 + d31 ** 2) + 3. * sh)
 
 
 def seq_j2_princ(sp):
@@ -39,7 +52,7 @@ def seq_j2_princ(sp):
     d12 = sp[..., 0] - sp[..., 1]
     d23 = sp[..., 1] - sp[..., 2]
     d31 = sp[..., 2] - sp[..., 0]
-    return jnp.sqrt(0.5 * (d12 ** 2 + d23 ** 2 + d31 ** 2))
+    return safe_sqrt(0.5 * (d12 ** 2 + d23 ** 2 + d31 ** 2))
 
 
 _AXIS_PERMS = np.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
@@ -159,6 +172,6 @@ def polar_ang_princ(sp):
 def eps_eq(eps):
     """Equivalent strain for Voigt (..., 6) or principal (..., 3) input."""
     if eps.shape[-1] == 6:
-        return jnp.sqrt(2. * (jnp.sum(eps[..., 0:3] ** 2, axis=-1) +
-                              0.5 * jnp.sum(eps[..., 3:6] ** 2, axis=-1)) / 3.)
-    return jnp.sqrt(2. * jnp.sum(eps[..., 0:3] ** 2, axis=-1) / 3.)
+        return safe_sqrt(2. * (jnp.sum(eps[..., 0:3] ** 2, axis=-1) +
+                               0.5 * jnp.sum(eps[..., 3:6] ** 2, axis=-1)) / 3.)
+    return safe_sqrt(2. * jnp.sum(eps[..., 0:3] ** 2, axis=-1) / 3.)
