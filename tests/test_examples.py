@@ -123,3 +123,11 @@ def test_device_characterization_example(tmp_path, monkeypatch):
     for sel in ('stx', 'sty', 'et2', 'ect'):
         assert np.isfinite(mat.propJ2[sel]['ys'])
         assert 80. < mat.propJ2[sel]['ys'] < 160.
+
+
+def test_calibrate_plasticity_example(tmp_path, monkeypatch):
+    """Inverse identification: the example asserts the identified material
+    reproduces the hidden truth's directional yield stresses."""
+    monkeypatch.chdir(tmp_path)
+    import calibrate_plasticity
+    calibrate_plasticity.main()  # raises on identification failure
