@@ -121,6 +121,43 @@ def main():
     assert worst < 2.e-2, 'identification failed'
     print('identification OK')
 
+    cpfem_surrogate()
+
+
+CPFEM_DB = ('/root/reference/examples/Train_CPFEM/'
+            'Data_Random_Texture_Test.json')
+
+
+def cpfem_surrogate():
+    """Best-fit Hill+Voce surrogate of a real CPFEM database — the
+    interpretable counterpart of training an SVC on its yield stresses.
+    Two real-data lessons are wired in: the database stores TENSOR shear
+    strains (shear_convention='tensor'; the fitted C44/((C11-C12)/2) = 2.0
+    on a random texture gives it away), and the fit is deviatoric (the
+    finite-strain data carries O(eps^2) hydrostatic terms a small-strain
+    model cannot represent)."""
+    if not os.path.exists(CPFEM_DB):
+        print('CPFEM database not mounted - skipping the surrogate fit')
+        return
+    print('\n--- Hill+Voce surrogate of the CPFEM random-texture set ---')
+    db = FE.Data(CPFEM_DB, epl_crit=2.e-3, epl_start=1.e-3, epl_max=0.03,
+                 wh_data=True)
+    params, info = calibrate.fit_from_data(
+        db, nsteps=25, shear_convention='tensor', hardening='voce')
+    _, sig = calibrate.resample_paths(db.lc_data, 25)
+    sig = np.asarray(sig)
+    dev = lambda s: s - np.concatenate(
+        [np.repeat(s[..., :3].mean(-1, keepdims=True), 3, -1),
+         np.zeros_like(s[..., 3:])], -1)
+    rms = np.sqrt(np.mean(dev(info['sim'] - sig) ** 2)) \
+        / np.sqrt(np.mean(dev(sig) ** 2))
+    print(f"sy {params['sy']:.2f}  khard {params['khard']:.0f}  "
+          f"voce_r {params['voce_r']:.1f}  voce_b {params['voce_b']:.0f}")
+    print('hill', np.round(params['hill'], 3))
+    print(f'deviatoric relative stress RMS of the surrogate: {rms:.3f}')
+    print(f"(pipeline's offset yield strength for comparison: "
+          f"{db.mat_data['sy_av']:.2f} MPa)")
+
 
 if __name__ == '__main__':
     main()

@@ -58,6 +58,8 @@ class Material(object):
         self.sy = None          # current yield strength; None => elastic only
         self.sy0 = None         # initial yield strength
         self.khard = None       # linear hardening slope
+        self.voce_r = 0.        # Voce saturation stress rise (0 = linear)
+        self.voce_b = 1.        # Voce saturation rate
         self.drucker = None
         self.lhs = None
         self.tresca = False
@@ -156,18 +158,27 @@ class Material(object):
 
     def plasticity(self, sy=None, sdim=6, drucker=0., khard=0., tresca=False,
                    barlat=None, barlat_exp=None, hill=None, hill_3p=None,
-                   hill_6p=None, rv=None, lhs=None):
+                   hill_6p=None, rv=None, lhs=None, voce_r=0., voce_b=1.):
         """Define plastic parameters: yield strength, Hill anisotropy (directly
         or via rv flow ratios), Drucker/LHS asymmetry, Tresca or Barlat
-        Yld2004-18p equivalent stress, and linear hardening slope."""
+        Yld2004-18p equivalent stress, and linear hardening slope.  Beyond
+        the reference contract, ``voce_r``/``voce_b`` add a Voce saturation
+        term to the flow stress (sy + khard*peeq + voce_r*(1-exp(-voce_b*
+        peeq))) — micromechanical hardening saturates, and a purely linear
+        law overshoots beyond ~1% plastic strain."""
         if sy < 0.:
             raise ValueError('Initial yield strength cannot be negative.')
         if khard < 0.:
             warnings.warn('Strain softening not supported. khard is set to 0.')
             khard = 0.
+        if voce_r < 0. or voce_b <= 0.:
+            raise ValueError('Voce parameters require voce_r >= 0 and '
+                             'voce_b > 0.')
         self.sy0 = sy
         self.sy = sy
         self.khard = khard
+        self.voce_r = voce_r
+        self.voce_b = voce_b
         self.drucker = drucker
         self.lhs = None if lhs is None else np.array(lhs)
         if lhs is not None and not np.isclose(drucker, 0.0):
@@ -326,14 +337,27 @@ class Material(object):
         return seq[0] if single else seq
 
     def get_sflow(self, epl):
-        """Scalar flow stress (linear isotropic hardening) at plastic strain
-        ``epl`` (scalar PEEQ or strain tensor)."""
+        """Scalar flow stress (linear isotropic + optional Voce saturation
+        hardening) at plastic strain ``epl`` (scalar PEEQ or tensor)."""
         peeq = epl if type(epl) in _FLOATS else eps_eq(epl)
-        return self.sy + peeq * self.khard
+        return self._sflow_of(peeq)
+
+    def _sflow_of(self, peeq):
+        sf = self.sy + peeq * self.khard
+        if getattr(self, 'voce_r', 0.):
+            sf = sf - self.voce_r * np.expm1(-self.voce_b * peeq)
+        return sf
+
+    def get_khard(self, peeq=0.):
+        """Hardening modulus d sflow / d peeq at the given plastic strain."""
+        kh = self.khard
+        if getattr(self, 'voce_r', 0.):
+            kh = kh + self.voce_r * self.voce_b * np.exp(-self.voce_b * peeq)
+        return kh
 
     def _sflow_rows(self, epl_rows):
         """Flow stress per row for (N, sdim) plastic strain tensors."""
-        return self.sy + eps_eq(epl_rows) * self.khard
+        return self._sflow_of(eps_eq(epl_rows))
 
     def calc_yf(self, sig, epl=None, accumulated_strain=0.0, max_stress=0.0,
                 flag=0.0, tex=None, ana=False, pred=False):
@@ -674,7 +698,7 @@ class Material(object):
                 a[:, :] = self._fgrad_rows(sig[k], epl[k], acc=acc, mxs=mxs,
                                            flg=flg, tex=tex)
             ca = a @ Cel.T
-            hh = np.einsum('ni,ni->n', ca, a) + self.khard
+            hh = np.einsum('ni,ni->n', ca, a) + self.get_khard(eps_eq(epl[k]))
             lam = np.einsum('ni,ni->n', ca, deps[k]) / hh
             pdot[k] = lam[:, None] * a
         return pdot
@@ -694,7 +718,7 @@ class Material(object):
         else:
             a[:, :] = self._fgrad_rows(sig, epl)
         ca = a @ Cel.T
-        hh = np.einsum('ni,ni->n', ca, a) + self.khard
+        hh = np.einsum('ni,ni->n', ca, a) + self.get_khard(eps_eq(epl))
         return Cel[None, :, :] - np.einsum('ni,nj->nij', ca, ca) / hh[:, None, None]
 
     # =================================================================

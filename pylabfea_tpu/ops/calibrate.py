@@ -42,9 +42,12 @@ def _material_of(theta, CV, dtype, peeq_ref=1.):
     (positivity without constrained optimization), and the hardening
     parameter lives at stress scale — khard itself is sy/peeq_ref-scaled
     (~1e4-1e5), which conditions gradient descent so badly the khard
-    direction never converges."""
+    direction never converges.  Optional keys 'raw_vr' (softplus, stress
+    scale) and 'log_vb_peeq' (log of voce_b*peeq_ref, so the rate lives at
+    O(1)) switch on Voce saturation hardening."""
     as_d = lambda x: jnp.asarray(x, dtype)
     sy = jnp.exp(theta['log_sy'])
+    voce = 'raw_vr' in theta
     return con.DeviceMaterial(
         hill=jnp.exp(theta['log_hill']), sy=sy,
         khard=jax.nn.softplus(theta['raw_dsy']) / peeq_ref,
@@ -52,7 +55,11 @@ def _material_of(theta, CV, dtype, peeq_ref=1.):
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
         gamma=as_d(1.), scale_seq=sy, scale_wh=as_d(1.),
         feat_mean=as_d(np.zeros(0)), feat_scale=as_d(np.zeros(0)),
-        tex=as_d(np.zeros(0)), is_svc=False, dev_only=False, sdim3=False)
+        tex=as_d(np.zeros(0)),
+        voce_r=jax.nn.softplus(theta['raw_vr']) if voce else as_d(0.),
+        voce_b=(jnp.exp(theta['log_vb_peeq']) / peeq_ref if voce
+                else as_d(1.)),
+        is_svc=False, dev_only=False, sdim3=False)
 
 
 def simulate_paths(theta, CV, deps_paths, maxiter=12, nsub=1, peeq_ref=1.):
@@ -77,8 +84,8 @@ def simulate_paths(theta, CV, deps_paths, maxiter=12, nsub=1, peeq_ref=1.):
     return jnp.swapaxes(sig_hist, 0, 1)
 
 
-def estimate_init(deps_paths, sig_paths):
-    """Slope-based {sy, khard} seed from the raw path data.
+def estimate_init(deps_paths, sig_paths, hardening='linear'):
+    """Slope-based {sy, khard [, voce_r, voce_b]} seed from the raw data.
 
     Per path, the equivalent stress vs equivalent total strain curve is
     bilinear-ish: an elastic leg (slope from the first two samples) and a
@@ -89,6 +96,13 @@ def estimate_init(deps_paths, sig_paths):
     values), but it lands inside the basin of the global optimum — which
     is what the LM descent needs: a cold khard start collapses into the
     softplus-saturated khard=0 local minimum and cannot recover.
+
+    For ``hardening='voce'`` a scalar pre-fit of the pooled flow curve
+    seq(peeq) refines the seed: grid over the saturation rate voce_b
+    (whose log direction has the same boundary-collapse trap — vb -> 0
+    degenerates Voce into the linear term and LM wanders off), linear
+    least squares for (sy, khard, voce_r) at each rate, best residual
+    wins.  peeq is proxied by eps_eq_total - seq/s_el.
     """
     from pylabfea_tpu.ops import jtensors as jt
 
@@ -96,7 +110,7 @@ def estimate_init(deps_paths, sig_paths):
     eeq_p = np.asarray(jt.eps_eq(jnp.cumsum(deps_paths, axis=1)))
     nst = seq_p.shape[1]
     tail = max(nst // 4, 2)
-    khs, sys_ = [], []
+    khs, sys_, sels = [], [], []
     for s, e in zip(seq_p, eeq_p):
         s_el = (s[1] - s[0]) / max(e[1] - e[0], 1e-16)
         s_pl = (s[-1] - s[-tail]) / max(e[-1] - e[-tail], 1e-16)
@@ -104,16 +118,49 @@ def estimate_init(deps_paths, sig_paths):
             khs.append(1. / max(1. / s_pl - 1. / s_el, 1e-16))
             e_y = (s[-1] - s_pl * e[-1]) / (s_el - s_pl)
             sys_.append(s_el * e_y)
+            sels.append(s_el)
     if not khs:  # no path shows a hardening bend — fall back
         seq = jt.seq_j2_voigt(jnp.reshape(sig_paths, (-1, 6)))
         return {'sy': 0.9 * float(jnp.max(seq)), 'hill': np.ones(6),
                 'khard': 1.0}
-    return {'sy': float(np.median(sys_)), 'hill': np.ones(6),
+    init = {'sy': float(np.median(sys_)), 'hill': np.ones(6),
             'khard': float(np.median(khs))}
+    if hardening != 'voce':
+        return init
+    # pooled scalar flow curve: peeq proxy per sample, plastic points only
+    s_el = float(np.median(sels))
+    pe, sq = [], []
+    for s, e in zip(seq_p, eeq_p):
+        p = e - s / s_el
+        sel = p > 0.05 * p[-1] if p[-1] > 0 else p > 0
+        pe.append(p[sel])
+        sq.append(s[sel])
+    pe = np.concatenate(pe)
+    sq = np.concatenate(sq)
+    if pe.size < 8:
+        init.update(voce_r=0.3 * init['sy'], voce_b=2. / max(pe.max(), 1e-4)
+                    if pe.size else 100.)
+        return init
+    best = None
+    for vb in np.geomspace(0.25 / pe.max(), 25. / pe.max(), 24):
+        A = np.stack([np.ones_like(pe), pe, -np.expm1(-vb * pe)], axis=1)
+        coef, res, *_ = np.linalg.lstsq(A, sq, rcond=None)
+        r = float(np.sum((A @ coef - sq) ** 2))
+        if coef[2] >= 0. and (best is None or r < best[0]):
+            best = (r, coef, vb)
+    if best is not None:
+        _, (sy0, kh0, vr0), vb0 = best
+        init.update(sy=max(float(sy0), 1e-3),
+                    khard=max(float(kh0), 1e-3),
+                    voce_r=max(float(vr0), 1e-3), voce_b=float(vb0))
+    else:
+        init.update(voce_r=0.3 * init['sy'], voce_b=2. / pe.max())
+    return init
 
 
 def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
-                   maxiter=40, nsub=1, weights=None, gauge='uniax_x'):
+                   maxiter=40, nsub=1, weights=None, gauge='uniax_x',
+                   hardening='linear', deviatoric=False):
     """Identify {sy, hill (6), khard} from measured stress paths.
 
     deps_paths, sig_paths: (npaths, nsteps, 6) strain increments and the
@@ -140,8 +187,21 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     points (measured: maxiter=12 strands LM at 1e-2 parameter error with
     |J'r|=0; maxiter=40 recovers 1e-3).
 
-    Returns (params dict with 'sy'/'hill'/'khard', info dict with the
-    cost history and final simulated paths).
+    ``hardening='voce'`` additionally fits the saturation parameters
+    {voce_r, voce_b} of sflow = sy + khard*peeq + voce_r*(1 -
+    exp(-voce_b*peeq)) — micromechanical (CPFEM) hardening saturates, and
+    the linear law alone overshoots beyond ~1% plastic strain.
+
+    ``deviatoric=True`` fits the deviatoric stress response only.  Every
+    plastic parameter is deviatoric (associated flow is isochoric), while
+    the hydrostatic response of finite-strain data carries O(eps^2)
+    volumetric terms a small-strain model cannot represent — on the
+    reference CPFEM set they reach K*eps^2 ~ 15 MPa rms and would drown
+    the plastic signal (measured: the full-residual fit leaves 0.69
+    relative rms, ALL of it hydrostatic, deviatoric rms 1.2 MPa).
+
+    Returns (params dict with 'sy'/'hill'/'khard' [+'voce_r'/'voce_b'],
+    info dict with the cost history and final simulated paths).
     """
     from jax.flatten_util import ravel_pytree
 
@@ -150,7 +210,7 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     deps_paths = jnp.asarray(deps_paths)
     sig_paths = jnp.asarray(sig_paths, deps_paths.dtype)
     if init is None:
-        init = estimate_init(deps_paths, sig_paths)
+        init = estimate_init(deps_paths, sig_paths, hardening)
     # hardening reference strain: the largest accumulated equivalent strain
     # in the data (upper bound of peeq) — puts the hardening parameter at
     # stress scale (see _material_of)
@@ -165,6 +225,18 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
                                if dsy0 < 30. else dsy0,
                                deps_paths.dtype),
     }
+    if hardening == 'voce':
+        # seed from the scalar pre-fit (estimate_init); softplus keeps both
+        # positive and LM reshuffles the linear-vs-voce share freely
+        vr0 = max(float(init.get('voce_r', 0.5 * dsy0 / peeq_ref)), 1e-3)
+        vb0 = max(float(init.get('voce_b', 2. / peeq_ref)), 1e-6)
+        theta['raw_vr'] = jnp.asarray(
+            float(np.log(np.expm1(vr0) + 1e-300)) if vr0 < 30. else vr0,
+            deps_paths.dtype)
+        theta['log_vb_peeq'] = jnp.asarray(np.log(vb0 * peeq_ref),
+                                           deps_paths.dtype)
+    elif hardening != 'linear':
+        raise ValueError(f'unknown hardening model {hardening!r}')
     scale = jnp.maximum(jnp.sqrt(jnp.mean(sig_paths ** 2)), 1e-12)
     if weights is None:
         w = jnp.ones((), deps_paths.dtype)
@@ -174,10 +246,16 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
 
     x0, unravel = ravel_pytree(theta)
 
+    def _dev(s):
+        p = jnp.mean(s[..., 0:3], axis=-1, keepdims=True)
+        return s.at[..., 0:3].add(-p) if deviatoric else s
+
+    sig_cmp = _dev(sig_paths)
+
     def resid(x):
         sim = simulate_paths(unravel(x), CV, deps_paths, maxiter, nsub,
                              peeq_ref)
-        return (jnp.sqrt(w) * (sim - sig_paths) / scale).ravel()
+        return (jnp.sqrt(w) * (_dev(sim) - sig_cmp) / scale).ravel()
 
     res_j = jax.jit(resid)
     jac_j = jax.jit(jax.jacfwd(resid))
@@ -208,12 +286,117 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     params = {'sy': float(jnp.exp(theta['log_sy'])),
               'hill': np.asarray(jnp.exp(theta['log_hill'])),
               'khard': float(jax.nn.softplus(theta['raw_dsy'])) / peeq_ref}
+    if hardening == 'voce':
+        params['voce_r'] = float(jax.nn.softplus(theta['raw_vr']))
+        params['voce_b'] = float(jnp.exp(theta['log_vb_peeq'])) / peeq_ref
     if gauge == 'uniax_x':
         c = 0.5 * (params['hill'][0] + params['hill'][2])
         rc = float(np.sqrt(c))
-        params = {'sy': params['sy'] / rc, 'hill': params['hill'] / c,
-                  'khard': params['khard'] / rc}
+        params['sy'] = params['sy'] / rc
+        params['hill'] = params['hill'] / c
+        params['khard'] = params['khard'] / rc
+        if 'voce_r' in params:
+            params['voce_r'] = params['voce_r'] / rc  # stress scale, like sy
     info = {'loss': hist,
             'sim': np.asarray(simulate_paths(theta, CV, deps_paths,
                                              maxiter, nsub, peeq_ref))}
     return params, info
+
+
+def resample_paths(records, nsteps=30, eps_max=None, cluster=2.0):
+    """Rectangularize per-load-case stress/strain curves for the fit.
+
+    records: {key: {'Stress': (N,6), 'Strain_Total': (N,6)}} — e.g.
+    ``Data.lc_data`` from the CPFEM import pipeline (yield-onset-only
+    'cyl' records, which carry a bare stress row, are skipped).  Every
+    case is re-interpolated onto ``nsteps`` increments of total equivalent
+    strain up to ``eps_max`` (default: the shortest case's reach, so every
+    resampled path is fully backed by data).  The grid is power-law
+    clustered toward zero strain (node j at cap*(j/n)**cluster) — the
+    yield onset lives at a few permille of the path reach, and a uniform
+    grid would leave the elastic leg (which conditions the sy direction of
+    the fit) a single sample.  Returns (deps_paths, sig_paths) shaped
+    (npaths, nsteps, 6).
+    """
+    from pylabfea_tpu.ops import jtensors as jt
+
+    curves = []
+    for key, rec in records.items():
+        eps = np.asarray(rec.get('Strain_Total', np.zeros((0, 6))),
+                         dtype=float)
+        if eps.ndim != 2 or eps.shape[0] < 4:
+            continue  # onset-only or too-short record
+        sig = np.asarray(rec['Stress'], dtype=float)
+        arc = np.asarray(jt.eps_eq(jnp.asarray(eps)))
+        # strictly increasing arc length (drop unload/noise back-steps)
+        keep = np.concatenate([[True], np.diff(arc) > 1e-12])
+        curves.append((arc[keep], eps[keep], sig[keep]))
+    if not curves:
+        raise ValueError('no full-curve load cases in records')
+    reach = min(arc[-1] for arc, _, _ in curves)
+    cap = reach if eps_max is None else min(eps_max, reach)
+    grid = cap * (np.arange(1, nsteps + 1) / nsteps) ** cluster
+    eps_r = np.zeros((len(curves), nsteps, 6))
+    sig_r = np.zeros((len(curves), nsteps, 6))
+    for p, (arc, eps, sig) in enumerate(curves):
+        for k in range(6):
+            eps_r[p, :, k] = np.interp(grid, arc, eps[:, k])
+            sig_r[p, :, k] = np.interp(grid, arc, sig[:, k])
+    deps = np.diff(eps_r, axis=1, prepend=np.zeros((len(curves), 1, 6)))
+    return jnp.asarray(deps), jnp.asarray(sig_r)
+
+
+def fit_from_data(db, CV=None, nsteps=30, eps_max=None,
+                  shear_convention='engineering', deviatoric=True,
+                  **fit_kw):
+    """Identify {sy, hill, khard} from a ``dataio.Data`` database.
+
+    The best-fit Hill material is the analytic surrogate of the measured
+    behavior — complementary to the SVC route (which learns the locus
+    shape non-parametrically but gives no interpretable coefficients).
+
+    ``db``: a Data instance (its ``lc_data`` full-curve records and fitted
+    ``mat_data['elast_const']`` are used) or a bare records dict (then
+    ``CV`` is required).  The fit is deviatoric by default (finite-strain
+    data carries O(eps^2) hydrostatic terms a small-strain model cannot
+    represent — see :func:`fit_plasticity`).  Remaining kwargs pass
+    through to :func:`fit_plasticity`.
+
+    ``shear_convention``: the shear-strain convention of the DATABASE.
+    The package (and the return map integrated here) uses engineering
+    shear (gamma = 2 eps_ij); CPFEM databases typically store tensor
+    components eps_ij — e.g. the reference's bundled random-texture set,
+    where the fitted C44/((C11-C12)/2) = 1.98 on a macroscopically
+    isotropic texture gives the convention away.  The mismatch is
+    invisible to everything else in the pipeline (the elastic fit is
+    self-consistent in either convention, and the reference never
+    integrates these strains), but it DOUBLE-counts the plastic shear
+    relief in the return map and poisons the fitted shear coefficients
+    (measured: hill[3:] = 0.52 on isotropic-onset data).  With 'tensor',
+    shear strain columns are doubled and — because a stiffness fitted in
+    the tensor convention is wrong for engineering strains — the elastic
+    stiffness is refitted from the pre-yield samples of the converted
+    paths (any explicit ``CV`` must already be engineering-convention).
+    """
+    records = getattr(db, 'lc_data', db)
+    deps, sig = resample_paths(records, nsteps, eps_max)
+    if shear_convention == 'tensor':
+        deps = deps.at[..., 3:].mul(2.)
+    elif shear_convention != 'engineering':
+        raise ValueError(f'unknown shear_convention {shear_convention!r}')
+    if CV is None and shear_convention == 'engineering':
+        md = getattr(db, 'mat_data', {})
+        CV = md.get('elast_const')
+    if CV is None:
+        # refit from the pre-yield prefix of the (converted) paths
+        from pylabfea_tpu.dataio import get_elastic_coefficients
+        from pylabfea_tpu.ops import jtensors as jt
+        seq = np.asarray(jt.seq_j2_voigt(sig))
+        eps_c = np.asarray(jnp.cumsum(deps, axis=1))
+        keep = seq < 0.5 * seq.max(axis=1, keepdims=True)
+        if keep.sum() < 12:
+            raise ValueError('too few pre-yield samples to fit the elastic '
+                             'stiffness: pass CV explicitly')
+        CV = get_elastic_coefficients(eps_c[keep], np.asarray(sig)[keep])
+    return fit_plasticity(deps, sig, jnp.asarray(np.asarray(CV)),
+                          deviatoric=deviatoric, **fit_kw)

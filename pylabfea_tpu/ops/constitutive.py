@@ -43,8 +43,12 @@ class DeviceMaterial(NamedTuple):
     feat_mean: jnp.ndarray   # (ndof,) StandardScaler mean (texture), else (0,)
     feat_scale: jnp.ndarray  # (ndof,) StandardScaler scale (texture), else (0,)
     tex: jnp.ndarray         # (tdim,) fixed texture descriptor, else (0,)
-    is_svc: bool             # static (aux data, not a traced leaf)
-    dev_only: bool           # static: deviatoric stress features
+    # Voce saturating hardening (analytic materials; 0/1 = pure linear):
+    # sflow = sy + khard*peeq + voce_r*(1 - exp(-voce_b*peeq))
+    voce_r: jnp.ndarray = 0.   # scalar saturation stress rise
+    voce_b: jnp.ndarray = 1.   # scalar saturation rate (1/strain)
+    is_svc: bool = False     # static (aux data, not a traced leaf)
+    dev_only: bool = False   # static: deviatoric stress features
     sdim3: bool = False      # static: sdim=3 principal-space semantics
 
 
@@ -146,7 +150,10 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
         gamma=as_d(1.), scale_seq=as_d(mat.sy), scale_wh=as_d(1.),
         feat_mean=as_d(np.zeros(0)), feat_scale=as_d(np.zeros(0)),
-        tex=as_d(np.zeros(0)), is_svc=False, dev_only=False,
+        tex=as_d(np.zeros(0)),
+        voce_r=as_d(getattr(mat, 'voce_r', None) or 0.),
+        voce_b=as_d(getattr(mat, 'voce_b', None) or 1.),
+        is_svc=False, dev_only=False,
         sdim3=mat.sdim == 3)
 
 
@@ -331,6 +338,20 @@ def _svc_stress_grad(m: DeviceMaterial, sig, g_feat):
     return g_feat[:, 0:6] / m.scale_seq
 
 
+def flow_stress(m: DeviceMaterial, peeq):
+    """Analytic flow stress sflow(peeq) = sy + khard*peeq
+    + voce_r*(1 - exp(-voce_b*peeq)) — linear isotropic hardening
+    (reference material.py:974-1007 contract) plus an optional Voce
+    saturation term the reference lacks (CPFEM hardening saturates;
+    a linear surrogate overshoots beyond ~1% strain)."""
+    return m.sy + peeq * m.khard + m.voce_r * (-jnp.expm1(-m.voce_b * peeq))
+
+
+def hard_modulus(m: DeviceMaterial, peeq):
+    """d sflow / d peeq = khard + voce_r*voce_b*exp(-voce_b*peeq)."""
+    return m.khard + m.voce_r * m.voce_b * jnp.exp(-m.voce_b * peeq)
+
+
 def khard_of(m: DeviceMaterial, g_feat, mask=None):
     """Hardening modulus: the batch-mean work-hardening rate derived from
     the SVC gradient's plastic-strain components — a SCALAR per batch like
@@ -350,7 +371,7 @@ def yf(m: DeviceMaterial, sig, peeq, epl=None):
     """Yield function: SVC decision or seq - sflow; sig (N, 6), peeq (N,)."""
     if m.is_svc:
         return svc_decision(m, _features(m, sig, epl))
-    return seq_hill(m, sig) - (m.sy + peeq * m.khard)
+    return seq_hill(m, sig) - flow_stress(m, peeq)
 
 
 def fgrad(m: DeviceMaterial, sig, epl=None):
@@ -421,7 +442,7 @@ def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
     if m.is_svc:
         f, g = svc_decision_and_gradient(m, _features(m, sig, epl))
         return f, _svc_stress_grad(m, sig, g), khard_of(m, g)
-    return yf(m, sig, peeq), fgrad(m, sig), m.khard
+    return yf(m, sig, peeq), fgrad(m, sig), hard_modulus(m, peeq)
 
 
 def ml_yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None,
@@ -511,7 +532,7 @@ def _flow_tan(m: DeviceMaterial, sig, peeq, CV, deps, epl):
         kh_full = khard_of(m, gfeat)
     else:
         a = fgrad(m, sig)
-        kh_sub = kh_full = m.khard
+        kh_sub = kh_full = hard_modulus(m, peeq)
     ca = _mm(a, CV.T)
     aca = jnp.sum(ca * a, axis=-1)
     lam = jnp.sum(ca * deps, axis=-1) / (aca + kh_sub)
@@ -610,7 +631,7 @@ def response(m: DeviceMaterial, state, deps, CV, maxit=50):
     N = sig0.shape[0]
     dt = sig0.dtype
     peeq0 = jt.eps_eq(epl0)
-    toler = yf_tolerance * (m.sy + peeq0 * m.khard)
+    toler = yf_tolerance * flow_stress(m, peeq0)
     dsig = _mm(deps, CV.T)
     fy_pred = yf_dist(m, sig0 + dsig, peeq0, epl0)
     elastic = fy_pred < toler
@@ -812,7 +833,7 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
         if m.is_svc:
             toler = jnp.full_like(peeq_in, yf_tolerance)
         else:
-            toler = yf_tolerance * (m.sy + peeq_in * m.khard)
+            toler = yf_tolerance * flow_stress(m, peeq_in)
         sig_tr = sig_in + _mm(deps_s, CV.T)
         epl_in = epl0 + depl_in
         f_tr, a_tr, kh_tr = yf_and_fgrad(m, sig_tr, peeq_in, epl_in)

@@ -131,3 +131,120 @@ def test_safe_sqrt_value_and_grad():
     assert float(g) == 0.
     g1 = jax.grad(lambda v: jt.safe_sqrt(v))(4.)
     assert abs(float(g1) - 0.25) < 1e-12
+
+
+# ----------------------------------------------------------------------
+# Voce saturation hardening (capability beyond the reference's linear law)
+# ----------------------------------------------------------------------
+def _mat_voce(hill, sy, khard, vr, vb):
+    return con.DeviceMaterial(
+        hill=jnp.asarray(hill), sy=jnp.asarray(sy), khard=jnp.asarray(khard),
+        drucker=jnp.asarray(0.), sv=jnp.zeros((1, 6)), dc=jnp.zeros(1),
+        rho=jnp.asarray(0.), gamma=jnp.asarray(1.),
+        scale_seq=jnp.asarray(sy), scale_wh=jnp.asarray(1.),
+        feat_mean=jnp.zeros(0), feat_scale=jnp.zeros(0), tex=jnp.zeros(0),
+        voce_r=jnp.asarray(vr), voce_b=jnp.asarray(vb),
+        is_svc=False, dev_only=False, sdim3=False)
+
+
+def test_voce_flow_stress_host_device_agree():
+    import pylabfea_tpu as FE
+    host = FE.Material('voce')
+    host.elasticity(E=200.e3, nu=0.3)
+    host.plasticity(sy=140., khard=200., voce_r=60., voce_b=150., sdim=6)
+    dm = con.device_material_from(host, dtype=jnp.float64)
+    for peeq in (0., 1e-4, 5e-3, 0.02, 0.2):
+        np.testing.assert_allclose(
+            float(con.flow_stress(dm, jnp.asarray(peeq))),
+            host.get_sflow(peeq), rtol=1e-12)
+        np.testing.assert_allclose(
+            float(con.hard_modulus(dm, jnp.asarray(peeq))),
+            host.get_khard(peeq), rtol=1e-12)
+    # voce_r=0 defaults reduce exactly to the linear law
+    lin = FE.Material('lin')
+    lin.elasticity(E=200.e3, nu=0.3)
+    lin.plasticity(sy=140., khard=200., sdim=6)
+    dl = con.device_material_from(lin, dtype=jnp.float64)
+    assert float(con.flow_stress(dl, jnp.asarray(0.01))) == 140. + 2.
+    assert float(con.hard_modulus(dl, jnp.asarray(0.01))) == 200.
+
+
+def test_voce_return_map_consistency():
+    """In sustained plastic flow the stress must track the Voce flow
+    stress: seq_hill(sig) == sflow(peeq) within the projection tolerance."""
+    CV = _cv_iso()
+    m = _mat_voce(np.ones(6), 140., 200., 60., 150.)
+    deps = jnp.zeros((1, 6)).at[0, 0].set(1.5e-3).at[0, 1].set(-0.75e-3) \
+        .at[0, 2].set(-0.75e-3)
+    sig = jnp.zeros((1, 6))
+    epl = jnp.zeros((1, 6))
+    for _ in range(20):
+        _, sig, dp, _ = con.response_fast(m, (sig, epl), deps, CV, 40, 1)
+        epl = epl + dp
+    peeq = float(jt.eps_eq(epl)[0])
+    assert peeq > 0.01, 'path did not develop plastic flow'
+    seq = float(con.seq_hill(m, sig)[0])
+    sflow = float(con.flow_stress(m, jnp.asarray(peeq)))
+    # saturation is active (well below the linear extrapolation)
+    lin = 140. + 200. * peeq + 60. * 150. * peeq
+    assert sflow < 0.9 * lin
+    np.testing.assert_allclose(seq, sflow, rtol=2e-3)
+
+
+def test_voce_round_trip():
+    """fit_plasticity(hardening='voce') recovers all 10 parameters from
+    stress paths of a saturating material (machine precision with the
+    scalar pre-fit seed; the cold log(vb) start collapses into the vb=0
+    boundary where Voce degenerates into the linear term)."""
+    rng = np.random.default_rng(3)
+    CV = _cv_iso()
+    hill_t = np.array([1.1, 0.95, 1.0, 1.0, 1.0, 1.0])
+    sy_t, kh_t, vr_t, vb_t = 140., 200., 60., 150.
+    m = _mat_voce(hill_t, sy_t, kh_t, vr_t, vb_t)
+    npaths, nsteps = 14, 30
+    dirs = rng.normal(size=(npaths, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(nsteps, 1.6e-3)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(m, deps, CV)
+
+    params, info = calibrate.fit_plasticity(deps, sig, CV,
+                                            hardening='voce', steps=120)
+    assert info['loss'][-1] < 1e-10
+    ct = 0.5 * (hill_t[0] + hill_t[2])
+    rct = np.sqrt(ct)
+    np.testing.assert_allclose(params['sy'], sy_t / rct, rtol=1e-4)
+    np.testing.assert_allclose(params['khard'], kh_t / rct, rtol=1e-3)
+    np.testing.assert_allclose(params['voce_r'], vr_t / rct, rtol=1e-3)
+    np.testing.assert_allclose(params['voce_b'], vb_t, rtol=1e-3)
+    np.testing.assert_allclose(params['hill'], hill_t / ct, rtol=1e-4)
+
+
+def test_fit_from_data_records_tensor_convention():
+    """fit_from_data on a records dict whose strains use TENSOR shear
+    components (the CPFEM database convention): the conversion must
+    recover the material; without it the shear coefficients poison."""
+    rng = np.random.default_rng(5)
+    CV = _cv_iso()
+    m = _mat_voce(HILL_TRUE, SY_TRUE, KHARD_TRUE, 0., 1.)
+    npaths, nsteps = 10, 40
+    dirs = rng.normal(size=(npaths, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(nsteps, 1.2e-3)
+    steps[:6] = 2.0e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(m, deps, CV)
+    eps = np.cumsum(np.asarray(deps), axis=1)
+    eps_tensor = eps.copy()
+    eps_tensor[..., 3:] *= 0.5  # store as tensor components
+    records = {f'case{p}': {'Stress': np.asarray(sig)[p],
+                            'Strain_Total': eps_tensor[p]}
+               for p in range(npaths)}
+
+    params, info = calibrate.fit_from_data(records, CV=CV, nsteps=20,
+                                           shear_convention='tensor')
+    ct = 0.5 * (HILL_TRUE[0] + HILL_TRUE[2])
+    rct = np.sqrt(ct)
+    np.testing.assert_allclose(params['sy'], SY_TRUE / rct, rtol=2e-2)
+    np.testing.assert_allclose(params['hill'], HILL_TRUE / ct, rtol=5e-2)
