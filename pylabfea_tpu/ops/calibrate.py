@@ -44,14 +44,16 @@ def _material_of(theta, CV, dtype, peeq_ref=1.):
     (~1e4-1e5), which conditions gradient descent so badly the khard
     direction never converges.  Optional keys 'raw_vr' (softplus, stress
     scale) and 'log_vb_peeq' (log of voce_b*peeq_ref, so the rate lives at
-    O(1)) switch on Voce saturation hardening."""
+    O(1)) switch on Voce saturation hardening; optional key 'drucker'
+    (raw, sign-free — the I1 term is linear in it) fits the
+    tension/compression asymmetry."""
     as_d = lambda x: jnp.asarray(x, dtype)
     sy = jnp.exp(theta['log_sy'])
     voce = 'raw_vr' in theta
     return con.DeviceMaterial(
         hill=jnp.exp(theta['log_hill']), sy=sy,
         khard=jax.nn.softplus(theta['raw_dsy']) / peeq_ref,
-        drucker=as_d(0.),
+        drucker=theta.get('drucker', as_d(0.)),
         sv=as_d(np.zeros((1, 6))), dc=as_d(np.zeros(1)), rho=as_d(0.),
         gamma=as_d(1.), scale_seq=sy, scale_wh=as_d(1.),
         feat_mean=as_d(np.zeros(0)), feat_scale=as_d(np.zeros(0)),
@@ -84,7 +86,8 @@ def simulate_paths(theta, CV, deps_paths, maxiter=12, nsub=1, peeq_ref=1.):
     return jnp.swapaxes(sig_hist, 0, 1)
 
 
-def estimate_init(deps_paths, sig_paths, hardening='linear'):
+def estimate_init(deps_paths, sig_paths, hardening='linear',
+                  fit_drucker=False):
     """Slope-based {sy, khard [, voce_r, voce_b]} seed from the raw data.
 
     Per path, the equivalent stress vs equivalent total strain curve is
@@ -125,42 +128,64 @@ def estimate_init(deps_paths, sig_paths, hardening='linear'):
                 'khard': 1.0}
     init = {'sy': float(np.median(sys_)), 'hill': np.ones(6),
             'khard': float(np.median(khs))}
-    if hardening != 'voce':
+    voce = hardening == 'voce'
+    if not (voce or fit_drucker):
         return init
-    # pooled scalar flow curve: peeq proxy per sample, plastic points only
+    # pooled scalar flow curve: peeq proxy per sample, plastic points only;
+    # at flow, sqrt(I2) ~ sy + kh*p + vr*(1-exp(-vb*p)) - drucker*I1/3, all
+    # LINEAR in (sy, kh, vr, drucker) given vb — one lstsq per grid node
     s_el = float(np.median(sels))
-    pe, sq = [], []
-    for s, e in zip(seq_p, eeq_p):
+    pe, sq, i1 = [], [], []
+    for s, e, sg in zip(seq_p, eeq_p, np.asarray(sig_paths)):
         p = e - s / s_el
         sel = p > 0.05 * p[-1] if p[-1] > 0 else p > 0
         pe.append(p[sel])
         sq.append(s[sel])
+        i1.append(sg[sel, 0:3].sum(axis=-1))
     pe = np.concatenate(pe)
     sq = np.concatenate(sq)
+    i1 = np.concatenate(i1)
+    fallback_vb = 2. / max(float(pe.max()) if pe.size else 0., 1e-4)
     if pe.size < 8:
-        init.update(voce_r=0.3 * init['sy'], voce_b=2. / max(pe.max(), 1e-4)
-                    if pe.size else 100.)
+        if voce:
+            init.update(voce_r=0.3 * init['sy'], voce_b=fallback_vb)
+        if fit_drucker:
+            init['drucker'] = 0.
         return init
+    cols = [np.ones_like(pe), pe]
+    if fit_drucker:
+        cols.append(-i1 / 3.)
     best = None
-    for vb in np.geomspace(0.25 / pe.max(), 25. / pe.max(), 24):
-        A = np.stack([np.ones_like(pe), pe, -np.expm1(-vb * pe)], axis=1)
+    vb_grid = (np.geomspace(0.25 / pe.max(), 25. / pe.max(), 24) if voce
+               else [None])
+    for vb in vb_grid:
+        A = np.stack(cols + ([-np.expm1(-vb * pe)] if voce else []), axis=1)
         coef, res, *_ = np.linalg.lstsq(A, sq, rcond=None)
         r = float(np.sum((A @ coef - sq) ** 2))
-        if coef[2] >= 0. and (best is None or r < best[0]):
+        if (not voce or coef[-1] >= 0.) and (best is None or r < best[0]):
             best = (r, coef, vb)
-    if best is not None:
-        _, (sy0, kh0, vr0), vb0 = best
-        init.update(sy=max(float(sy0), 1e-3),
-                    khard=max(float(kh0), 1e-3),
-                    voce_r=max(float(vr0), 1e-3), voce_b=float(vb0))
-    else:
-        init.update(voce_r=0.3 * init['sy'], voce_b=2. / pe.max())
+    if best is None:
+        if voce:
+            init.update(voce_r=0.3 * init['sy'], voce_b=fallback_vb)
+        if fit_drucker:
+            init['drucker'] = 0.
+        return init
+    _, coef, vb0 = best
+    init.update(sy=max(float(coef[0]), 1e-3),
+                khard=max(float(coef[1]), 1e-3))
+    k = 2
+    if fit_drucker:
+        init['drucker'] = float(coef[k])
+        k += 1
+    if voce:
+        init.update(voce_r=max(float(coef[k]), 1e-3), voce_b=float(vb0))
     return init
 
 
 def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
                    maxiter=40, nsub=1, weights=None, gauge='uniax_x',
-                   hardening='linear', deviatoric=False):
+                   hardening='linear', deviatoric=False,
+                   fit_drucker=False):
     """Identify {sy, hill (6), khard} from measured stress paths.
 
     deps_paths, sig_paths: (npaths, nsteps, 6) strain increments and the
@@ -192,6 +217,15 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     exp(-voce_b*peeq)) — micromechanical (CPFEM) hardening saturates, and
     the linear law alone overshoots beyond ~1% plastic strain.
 
+    ``fit_drucker=True`` additionally fits the Drucker pressure-sensitivity
+    coefficient (tension/compression asymmetry).  Caveat: keep the paths'
+    hydrostatic drift bounded (|I1| well below 3*sy/drucker) — physical
+    test protocols do this naturally, but strain-controlled paths with
+    runaway volumetric strain drive states toward the Drucker cone apex,
+    where the return map stays value-convergent but its unrolled
+    derivative is expanding (~2.6x per Newton trip, measured) and the
+    Jacobian overflows.
+
     ``deviatoric=True`` fits the deviatoric stress response only.  Every
     plastic parameter is deviatoric (associated flow is isochoric), while
     the hydrostatic response of finite-strain data carries O(eps^2)
@@ -210,7 +244,7 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     deps_paths = jnp.asarray(deps_paths)
     sig_paths = jnp.asarray(sig_paths, deps_paths.dtype)
     if init is None:
-        init = estimate_init(deps_paths, sig_paths, hardening)
+        init = estimate_init(deps_paths, sig_paths, hardening, fit_drucker)
     # hardening reference strain: the largest accumulated equivalent strain
     # in the data (upper bound of peeq) — puts the hardening parameter at
     # stress scale (see _material_of)
@@ -237,6 +271,9 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
                                            deps_paths.dtype)
     elif hardening != 'linear':
         raise ValueError(f'unknown hardening model {hardening!r}')
+    if fit_drucker:
+        theta['drucker'] = jnp.asarray(float(init.get('drucker', 0.)),
+                                       deps_paths.dtype)
     scale = jnp.maximum(jnp.sqrt(jnp.mean(sig_paths ** 2)), 1e-12)
     if weights is None:
         w = jnp.ones((), deps_paths.dtype)
@@ -289,6 +326,8 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     if hardening == 'voce':
         params['voce_r'] = float(jax.nn.softplus(theta['raw_vr']))
         params['voce_b'] = float(jnp.exp(theta['log_vb_peeq'])) / peeq_ref
+    if fit_drucker:
+        params['drucker'] = float(theta['drucker'])
     if gauge == 'uniax_x':
         c = 0.5 * (params['hill'][0] + params['hill'][2])
         rc = float(np.sqrt(c))
@@ -297,6 +336,8 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
         params['khard'] = params['khard'] / rc
         if 'voce_r' in params:
             params['voce_r'] = params['voce_r'] / rc  # stress scale, like sy
+        if 'drucker' in params:
+            params['drucker'] = params['drucker'] / rc  # rides on sqrt(I2)
     info = {'loss': hist,
             'sim': np.asarray(simulate_paths(theta, CV, deps_paths,
                                              maxiter, nsub, peeq_ref))}

@@ -800,9 +800,12 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
     recovers the substepped reference within ~0.1% at typical FE steps).
 
     ``fixed_trip=True`` runs the projection as a fixed ``maxiter``-trip
-    ``fori_loop`` instead of the early-exit ``while_loop``.  The VALUE is
-    identical (converged lanes take lam = 0 and are bitwise frozen; the
-    extra trips are no-ops), but the fixed-trip program is REVERSE-MODE
+    ``fori_loop`` instead of the early-exit ``while_loop``, and polishes
+    plastic lanes to machine zero instead of freezing inside the +-toler
+    band (agreement with the production map is bounded by the projection
+    tolerance; sub-tolerance freezing makes the response piecewise-constant
+    in the material parameters and floods reverse-mode gradients with
+    mask-flip noise).  The fixed-trip program is REVERSE-MODE
     DIFFERENTIABLE (``lax.while_loop`` has no transpose rule) — the knob
     ``ops.calibrate`` uses to autodiff stress responses w.r.t. material
     parameters.
@@ -815,8 +818,14 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
 
     # trust region: cap the per-iteration stress correction so lanes whose
     # trial state lands outside the SVC training band (flat decision surface,
-    # vanishing gradient) walk back stably instead of overshooting
-    cap = 0.1 * m.scale_seq
+    # vanishing gradient) walk back stably instead of overshooting.  ANALYTIC
+    # materials run uncapped: seq is 1-homogeneous and convex, the Newton is
+    # stable at any distance, and the cap actively breaks convergence — a
+    # strain-controlled trial overshoots the locus by ~500 MPa, which a
+    # 0.1*sy cap walks back at 15 MPa/trip and maxiter=40 cannot finish
+    # (measured: Drucker paths left |f| up to 130 at mid-path steps; uncapped
+    # Newton converges the same lane in 8 trips)
+    cap = 0.1 * m.scale_seq if m.is_svc else 1.e6 * m.scale_seq
     deps_s = deps / nsub
 
     def project(sig_in, depl_in, f0):
@@ -851,8 +860,15 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
             denom = jnp.sum(ca * a, axis=-1) + kh
             denom = jnp.maximum(denom, 1e-12 * jnp.max(jnp.abs(CV)))
             # bidirectional Newton on the yield surface along the flow
-            # direction: overshoot inside the locus (f < 0) is pulled out
-            lam = jnp.where(plastic & (jnp.abs(f) > toler), f / denom, 0.)
+            # direction: overshoot inside the locus (f < 0) is pulled out.
+            # fixed_trip (the differentiable variant) polishes to machine
+            # zero instead of freezing inside the +-toler band: lanes frozen
+            # at arbitrary sub-tolerance residuals make the simulated stress
+            # piecewise-constant in the material parameters, which floods
+            # reverse-mode gradients with mask-flip noise (measured 1e7
+            # gradient magnitudes at a 2e-7 loss)
+            act = plastic if fixed_trip else (plastic & (jnp.abs(f) > toler))
+            lam = jnp.where(act, f / denom, 0.)
             # for SVC materials f is dimensionless -> lam carries stress
             # units through a; the update is identical in both cases.
             dsig_norm = jnp.abs(lam) * jnp.linalg.norm(ca, axis=-1)

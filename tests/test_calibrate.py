@@ -62,16 +62,24 @@ def _simulate(m, deps, CV, maxiter=40):
 
 
 def test_fixed_trip_matches_while_loop():
-    """fixed_trip=True must be value-identical to the production map."""
+    """fixed_trip=True agrees with the production map within the
+    projection tolerance (it polishes to machine zero where the
+    production loop may freeze anywhere inside the +-toler band), and its
+    own yield residual is at machine zero."""
+    from pylabfea_tpu.core.tensors import yf_tolerance
     CV = _cv_iso()
     m = _mat(HILL_TRUE, SY_TRUE, KHARD_TRUE)
     deps = _paths(6, 1, step=0.002)[:, 0]
     state = (jnp.zeros((6, 6)), jnp.zeros((6, 6)))
     out_w = con.response_fast(m, state, deps, CV, 40, 1)
     out_f = con.response_fast(m, state, deps, CV, 40, 1, fixed_trip=True)
-    for a, b in zip(out_w, out_f):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=0, atol=1e-12)
+    toler = yf_tolerance * SY_TRUE
+    assert float(jnp.max(jnp.abs(out_f[0]))) < 1e-8      # f at machine zero
+    assert float(jnp.max(jnp.abs(out_w[0]))) <= toler    # f within band
+    np.testing.assert_allclose(np.asarray(out_w[1]), np.asarray(out_f[1]),
+                               rtol=0, atol=2. * toler)  # sig
+    np.testing.assert_allclose(np.asarray(out_w[2]), np.asarray(out_f[2]),
+                               rtol=0, atol=1e-4)        # depl
 
 
 def test_gradients_finite_at_virgin_state():
@@ -248,3 +256,45 @@ def test_fit_from_data_records_tensor_convention():
     rct = np.sqrt(ct)
     np.testing.assert_allclose(params['sy'], SY_TRUE / rct, rtol=2e-2)
     np.testing.assert_allclose(params['hill'], HILL_TRUE / ct, rtol=5e-2)
+
+
+def test_drucker_round_trip():
+    """fit_drucker recovers the pressure-sensitivity coefficient along
+    with everything else, provided the paths' hydrostatic drift stays
+    bounded (runaway I1 approaches the Drucker cone apex, where the
+    unrolled return-map derivative is expanding — see fit_plasticity)."""
+    rng = np.random.default_rng(11)
+    CV = _cv_iso()
+    hill_t = np.array([1.15, 0.9, 1.0, 1.0, 1.0, 1.0])
+    sy_t, kh_t, dr_t = 150., 300., 0.15
+    m = con.DeviceMaterial(
+        hill=jnp.asarray(hill_t), sy=jnp.asarray(sy_t),
+        khard=jnp.asarray(kh_t), drucker=jnp.asarray(dr_t),
+        sv=jnp.zeros((1, 6)), dc=jnp.zeros(1), rho=jnp.asarray(0.),
+        gamma=jnp.asarray(1.), scale_seq=jnp.asarray(sy_t),
+        scale_wh=jnp.asarray(1.), feat_mean=jnp.zeros(0),
+        feat_scale=jnp.zeros(0), tex=jnp.zeros(0),
+        is_svc=False, dev_only=False, sdim3=False)
+    half = rng.normal(size=(8, 6))
+    half /= np.linalg.norm(half, axis=1, keepdims=True)
+    dirs = np.concatenate([half, -half], 0)  # tension/compression pairs
+    # bound the hydrostatic drift (see fit_plasticity docstring)
+    E, nu, nsteps, step = 200000., 0.3, 28, 1.6e-3
+    tr_cap = 2.5 * sy_t / (E / (1. - 2. * nu)) / (nsteps * step)
+    tr = dirs[:, :3].sum(1, keepdims=True)
+    dirs[:, :3] -= (tr - np.clip(tr, -tr_cap, tr_cap)) / 3.
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(nsteps, step)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(m, deps, CV)
+
+    params, info = calibrate.fit_plasticity(deps, sig, CV,
+                                            fit_drucker=True, steps=120)
+    assert info['loss'][-1] < 1e-12
+    ct = 0.5 * (hill_t[0] + hill_t[2])
+    rct = np.sqrt(ct)
+    np.testing.assert_allclose(params['sy'], sy_t / rct, rtol=1e-6)
+    np.testing.assert_allclose(params['khard'], kh_t / rct, rtol=1e-5)
+    np.testing.assert_allclose(params['drucker'], dr_t / rct, rtol=1e-5)
+    np.testing.assert_allclose(params['hill'], hill_t / ct, rtol=1e-6)
