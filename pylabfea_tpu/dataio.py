@@ -230,6 +230,38 @@ class Data(object):
         self.parse_data(self.mat_data['epc'], self.mat_data['ep_start'],
                         self.mat_data['ep_max'], self.mat_data['delta_ep'])
 
+    def fit_material(self, name=None, hardening='voce', nsteps=25,
+                     shear_convention='tensor', **fit_kw):
+        """Identify a ready-to-use analytic ``Material`` from this
+        database: the best-fit Hill[+Voce] surrogate of the measured
+        stress-strain paths (``ops.calibrate.fit_from_data`` — AD through
+        the device return map), with the database's fitted elastic
+        stiffness.  The interpretable counterpart of ``train_SVC`` on the
+        same data: Hill coefficients and hardening parameters instead of a
+        non-parametric SVC locus.
+
+        ``shear_convention`` defaults to 'tensor' — the CPFEM database
+        convention (see fit_from_data).  Returns (Material, fit info
+        dict); the fitted parameters are also stored as ``info['params']``.
+        """
+        from pylabfea_tpu.materials import Material
+        from pylabfea_tpu.ops import calibrate
+
+        params, info = calibrate.fit_from_data(
+            self, nsteps=nsteps, shear_convention=shear_convention,
+            hardening=hardening, **fit_kw)
+        info['params'] = params
+        mat = Material(name or f"{self.mat_data['Name']}-hill-fit")
+        # info['CV'] is the ENGINEERING-convention stiffness the fit used
+        # (the stored elast_const is invalid for engineering strains when
+        # the database convention is 'tensor')
+        mat.elasticity(CV=np.asarray(info['CV']))
+        mat.plasticity(sy=params['sy'], hill=list(params['hill']),
+                       khard=params['khard'],
+                       voce_r=params.get('voce_r', 0.),
+                       voce_b=params.get('voce_b', 1.), sdim=6)
+        return mat, info
+
     def write_info(self, data):
         if "identifier" not in data.keys():
             return

@@ -439,5 +439,10 @@ def fit_from_data(db, CV=None, nsteps=30, eps_max=None,
             raise ValueError('too few pre-yield samples to fit the elastic '
                              'stiffness: pass CV explicitly')
         CV = get_elastic_coefficients(eps_c[keep], np.asarray(sig)[keep])
-    return fit_plasticity(deps, sig, jnp.asarray(np.asarray(CV)),
-                          deviatoric=deviatoric, **fit_kw)
+    params, info = fit_plasticity(deps, sig, jnp.asarray(np.asarray(CV)),
+                                  deviatoric=deviatoric, **fit_kw)
+    # the engineering-convention stiffness actually used (refitted when the
+    # database convention is 'tensor' — the stored elast_const is then NOT
+    # valid for engineering strains)
+    info['CV'] = np.asarray(CV)
+    return params, info

@@ -79,3 +79,29 @@ def test_create_test_sig():
     n = len(ts_sig)
     assert len(epl_tot) == n and len(yf_ref) == n
     assert np.all(yf_ref[:n // 2] == 1) and np.all(yf_ref[n // 2:] == -1)
+
+
+def test_fit_material_hill_voce_surrogate(db):
+    """Data.fit_material returns a ready analytic Material: the Hill+Voce
+    surrogate of the database (random texture => near-isotropic hill), on
+    the ENGINEERING-convention stiffness refitted from the converted
+    pre-yield samples (the stored tensor-convention elast_const is not
+    valid for engineering strains)."""
+    mat, info = db.fit_material(nsteps=25)
+    p = info['params']
+    assert 25. < p['sy'] < 60.
+    np.testing.assert_allclose(p['hill'], np.ones(6), atol=0.15)
+    assert mat.voce_r > 0. and mat.khard >= 0.
+    # engineering-convention stiffness: C44 ~ (C11-C12)/2 for the
+    # macroscopically isotropic random texture (tensor-fit doubles it)
+    C = info['CV']
+    ratio = C[3:, 3:].diagonal().mean() / (
+        (C[:3, :3].diagonal().mean()
+         - (C[:3, :3].sum() - C[:3, :3].diagonal().sum()) / 6.) / 2.)
+    assert 0.8 < ratio < 1.25
+    assert mat.CV[0, 0] == C[0, 0]
+    # the material is usable: uniaxial yield function is negative below
+    # and positive above the fitted strength
+    su = np.array([1., 0., 0., 0., 0., 0.])
+    assert mat.calc_yf(0.5 * p['sy'] * su) < 0. < mat.calc_yf(
+        2.0 * p['sy'] * su)
