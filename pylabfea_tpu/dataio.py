@@ -241,11 +241,40 @@ class Data(object):
         non-parametric SVC locus.
 
         ``shear_convention`` defaults to 'tensor' — the CPFEM database
-        convention (see fit_from_data).  Returns (Material, fit info
-        dict); the fitted parameters are also stored as ``info['params']``.
+        convention (see fit_from_data).  A wrong convention silently
+        poisons the fitted shear coefficients by 2x, so the stored
+        stiffness is checked against the declared convention when the
+        texture is near-isotropic: for engineering strains a random
+        texture gives C44 ~ (C11-C12)/2, for tensor strains ~ (C11-C12).
+        Returns (Material, fit info dict); the fitted parameters are also
+        stored as ``info['params']``.
         """
         from pylabfea_tpu.materials import Material
         from pylabfea_tpu.ops import calibrate
+
+        C = self.mat_data.get('elast_const')
+        if C is not None:
+            C = np.asarray(C)
+            c11 = C[:3, :3].diagonal().mean()
+            c12 = (C[:3, :3].sum() - C[:3, :3].diagonal().sum()) / 6.
+            ratio = C[3:, 3:].diagonal().mean() / max((c11 - c12) / 2.,
+                                                      1e-9)
+            # only diagnostic for near-isotropic stiffnesses; a ratio near
+            # 1 is the engineering signature, near 2 the tensor one
+            if shear_convention == 'tensor' and ratio < 1.4:
+                warnings.warn(
+                    'fit_material: shear_convention="tensor" but the '
+                    f'stored stiffness has C44/((C11-C12)/2) = {ratio:.2f} '
+                    '~ 1, the ENGINEERING-convention signature — if the '
+                    'database stores engineering shear strains, pass '
+                    'shear_convention="engineering" or the fitted shear '
+                    'coefficients will be off by 2x.')
+            elif shear_convention == 'engineering' and ratio > 1.6:
+                warnings.warn(
+                    'fit_material: shear_convention="engineering" but the '
+                    f'stored stiffness has C44/((C11-C12)/2) = {ratio:.2f} '
+                    '~ 2, the TENSOR-convention signature (CPFEM '
+                    'databases) — consider shear_convention="tensor".')
 
         params, info = calibrate.fit_from_data(
             self, nsteps=nsteps, shear_convention=shear_convention,

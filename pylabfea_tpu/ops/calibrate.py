@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from pylabfea_tpu.ops import constitutive as con
 
 
-def _material_of(theta, CV, dtype, peeq_ref=1.):
+def _material_of(theta, dtype, peeq_ref=1.):
     """Positive-parameterized analytic DeviceMaterial: theta carries
     log(sy), log(hill) and raw_dsy = softplus-inverse of the FLOW-STRESS
     RISE over the reference plastic strain ``peeq_ref`` (khard =
@@ -72,7 +72,7 @@ def simulate_paths(theta, CV, deps_paths, maxiter=12, nsub=1, peeq_ref=1.):
     w.r.t. ``theta`` (and ``CV``).
     """
     dtype = deps_paths.dtype
-    m = _material_of(theta, CV, dtype, peeq_ref)
+    m = _material_of(theta, dtype, peeq_ref)
     npaths = deps_paths.shape[0]
     z = jnp.zeros((npaths, 6), dtype)
 
@@ -112,6 +112,15 @@ def estimate_init(deps_paths, sig_paths, hardening='linear',
     seq_p = np.asarray(jt.seq_j2_voigt(sig_paths))
     eeq_p = np.asarray(jt.eps_eq(jnp.cumsum(deps_paths, axis=1)))
     nst = seq_p.shape[1]
+    if nst < 4:  # too short for slope legs — ceiling fallback
+        seq = jt.seq_j2_voigt(jnp.reshape(sig_paths, (-1, 6)))
+        init = {'sy': 0.9 * float(jnp.max(seq)), 'hill': np.ones(6),
+                'khard': 1.0}
+        if hardening == 'voce':
+            init.update(voce_r=0.3 * init['sy'], voce_b=100.)
+        if fit_drucker:
+            init['drucker'] = 0.
+        return init
     tail = max(nst // 4, 2)
     khs, sys_, sels = [], [], []
     for s, e in zip(seq_p, eeq_p):
@@ -369,8 +378,12 @@ def resample_paths(records, nsteps=30, eps_max=None, cluster=2.0):
             continue  # onset-only or too-short record
         sig = np.asarray(rec['Stress'], dtype=float)
         arc = np.asarray(jt.eps_eq(jnp.asarray(eps)))
-        # strictly increasing arc length (drop unload/noise back-steps)
-        keep = np.concatenate([[True], np.diff(arc) > 1e-12])
+        # strictly increasing arc length: keep only points above the
+        # running maximum (a pairwise diff test keeps DECREASING arcs
+        # after a back-step larger than its recovery, and np.interp on an
+        # unsorted grid silently emits off-curve samples)
+        run = np.maximum.accumulate(arc)
+        keep = arc > np.concatenate([[-np.inf], run[:-1] + 1e-12])
         curves.append((arc[keep], eps[keep], sig[keep]))
     if not curves:
         raise ValueError('no full-curve load cases in records')
@@ -419,7 +432,13 @@ def fit_from_data(db, CV=None, nsteps=30, eps_max=None,
     stiffness is refitted from the pre-yield samples of the converted
     paths (any explicit ``CV`` must already be engineering-convention).
     """
-    records = getattr(db, 'lc_data', db)
+    records = getattr(db, 'lc_data', None)
+    if records is None:
+        if isinstance(db, dict):
+            records = db
+        else:
+            raise ValueError('database carries no load-case records '
+                             '(lc_data is unset)')
     deps, sig = resample_paths(records, nsteps, eps_max)
     if shear_convention == 'tensor':
         deps = deps.at[..., 3:].mul(2.)
