@@ -126,3 +126,51 @@ def test_calc_properties_on_device():
             < 1e-6 * mh.propJ2[sel]['ys']
         assert abs(md_.prop[sel]['ys'] - mh.prop[sel]['ys']) \
             < 2e-2 * mh.prop[sel]['ys']
+
+
+def test_bridge_voce_hardening_matches_host():
+    """Voce saturation hardening flows through the full FE pipeline: the
+    host solver (response_batch via get_sflow/get_khard) and the device
+    solver (flow_stress/hard_modulus in the return map) must agree, and
+    saturation must be ACTIVE (global stress well below the linear-law
+    solution at the same strain)."""
+    def _mk(voce):
+        mat = FE.Material()
+        mat.elasticity(E=200.e3, nu=0.3)
+        if voce:
+            mat.plasticity(sy=150., khard=200., voce_r=80., voce_b=300.,
+                           sdim=6)
+        else:
+            mat.plasticity(sy=150., khard=200., sdim=6)
+        fe = FE.Model(dim=2, planestress=False)
+        fe.geom([4.], LY=4.)
+        fe.assign([mat])
+        fe.bcleft(0.)
+        fe.bcbot(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.006 * fe.leny, 'disp')
+        fe.mesh(NX=8, NY=8)
+        return fe
+
+    fe_host = _mk(True)
+    fe_host.solve(min_step=20)
+    fe_dev = _mk(True)
+    bridge.solve_on_device(fe_dev, nsteps=20, n_inner=4, dtype=jnp.float64)
+    rel = abs(fe_dev.glob['sig'][1] - fe_host.glob['sig'][1]) / \
+        abs(fe_host.glob['sig'][1])
+    assert rel < 5e-3, f'host/device voce mismatch {rel:.2e}'
+    # saturation active: well below the solution of the linear law with
+    # the same INITIAL hardening slope khard + voce_r*voce_b
+    mat_lin = FE.Material()
+    mat_lin.elasticity(E=200.e3, nu=0.3)
+    mat_lin.plasticity(sy=150., khard=200. + 80. * 300., sdim=6)
+    fe2 = FE.Model(dim=2, planestress=False)
+    fe2.geom([4.], LY=4.)
+    fe2.assign([mat_lin])
+    fe2.bcleft(0.)
+    fe2.bcbot(0.)
+    fe2.bcright(0., 'force')
+    fe2.bctop(0.006 * fe2.leny, 'disp')
+    fe2.mesh(NX=8, NY=8)
+    bridge.solve_on_device(fe2, nsteps=20, n_inner=4, dtype=jnp.float64)
+    assert fe_dev.glob['sig'][1] < 0.9 * fe2.glob['sig'][1]
