@@ -298,3 +298,51 @@ def test_drucker_round_trip():
     np.testing.assert_allclose(params['khard'], kh_t / rct, rtol=1e-5)
     np.testing.assert_allclose(params['drucker'], dr_t / rct, rtol=1e-5)
     np.testing.assert_allclose(params['hill'], hill_t / ct, rtol=1e-6)
+
+
+def test_identified_material_reproduces_fe_solution():
+    """Full loop: identify a Hill+Voce material from stress paths, drop it
+    into the FE solver, and match the truth material's FE solution.  Also
+    validates the gauge fix implicitly — the identified parameters sit on
+    a different gauge ray, but the physics must be identical."""
+    import pylabfea_tpu as FE
+    from pylabfea_tpu import bridge
+
+    truth = FE.Material('truth')
+    truth.elasticity(E=200.e3, nu=0.3)
+    truth.plasticity(sy=160., hill=[1.2, 0.9, 1.0, 1., 1., 1.],
+                     khard=250., voce_r=70., voce_b=180., sdim=6)
+    dm = con.device_material_from(truth)
+    CV = jnp.asarray(truth.CV)
+    rng = np.random.default_rng(2)
+    dirs = rng.normal(size=(14, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(30, 1.6e-3)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(dm, deps, CV)
+
+    params, _ = calibrate.fit_plasticity(deps, sig, CV, hardening='voce')
+    ident = FE.Material('identified')
+    ident.elasticity(CV=np.asarray(truth.CV))
+    ident.plasticity(sy=params['sy'], hill=list(params['hill']),
+                     khard=params['khard'], voce_r=params['voce_r'],
+                     voce_b=params['voce_b'], sdim=6)
+
+    def fe_solve(mat):
+        fe = FE.Model(dim=2, planestress=False)
+        fe.geom([4.], LY=4.)
+        fe.assign([mat])
+        fe.bcleft(0.)
+        fe.bcbot(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.006 * fe.leny, 'disp')
+        fe.mesh(NX=8, NY=8)
+        bridge.solve_on_device(fe, nsteps=20, n_inner=4,
+                               dtype=jnp.float64)
+        return fe.glob['sig']
+
+    g_truth = fe_solve(truth)
+    g_ident = fe_solve(ident)
+    rel = abs(g_ident[1] - g_truth[1]) / abs(g_truth[1])
+    assert rel < 1e-3, f'identified material FE mismatch {rel:.2e}'
