@@ -64,14 +64,36 @@ def _material_of(theta, dtype, peeq_ref=1.):
         is_svc=False, dev_only=False, sdim3=False)
 
 
+_CV_SCALE = 450.  # sqrt(typical stiffness entry) — keeps chol params O(1)
+
+
+def _cv_of(raw):
+    """Symmetric positive-definite 6x6 stiffness from a raw 21-vector:
+    Cholesky parameterization C = L L^T (same trick as the reference's
+    L-BFGS elastic fit, data.py:147-251 — positivity without constraints),
+    scaled so O(1) raw entries give O(2e5) moduli."""
+    L = jnp.zeros((6, 6), raw.dtype).at[jnp.tril_indices(6)].set(
+        raw * _CV_SCALE)
+    return L @ L.T
+
+
+def _cv_raw_of(CV):
+    """Inverse of _cv_of: raw 21-vector for a given SPD stiffness."""
+    L = np.linalg.cholesky(np.asarray(CV))
+    return L[np.tril_indices(6)] / _CV_SCALE
+
+
 def simulate_paths(theta, CV, deps_paths, maxiter=12, nsub=1, peeq_ref=1.):
     """Integrate the return map along strain paths.
 
     deps_paths: (npaths, nsteps, 6) per-step strain increments.
     Returns (npaths, nsteps, 6) stresses after each step.  Differentiable
-    w.r.t. ``theta`` (and ``CV``).
+    w.r.t. ``theta`` (and ``CV``).  A theta key 'cv_raw' (Cholesky
+    21-vector) OVERRIDES ``CV`` — the joint elastic-plastic fit.
     """
     dtype = deps_paths.dtype
+    if 'cv_raw' in theta:
+        CV = _cv_of(theta['cv_raw'])
     m = _material_of(theta, dtype, peeq_ref)
     npaths = deps_paths.shape[0]
     z = jnp.zeros((npaths, 6), dtype)
@@ -194,7 +216,7 @@ def estimate_init(deps_paths, sig_paths, hardening='linear',
 def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
                    maxiter=40, nsub=1, weights=None, gauge='uniax_x',
                    hardening='linear', deviatoric=False,
-                   fit_drucker=False):
+                   fit_drucker=False, fit_CV=False):
     """Identify {sy, hill (6), khard} from measured stress paths.
 
     deps_paths, sig_paths: (npaths, nsteps, 6) strain increments and the
@@ -234,6 +256,14 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     where the return map stays value-convergent but its unrolled
     derivative is expanding (~2.6x per Newton trip, measured) and the
     Jacobian overflows.
+
+    ``fit_CV=True`` refines the elastic stiffness JOINTLY with the plastic
+    parameters (21 Cholesky-parameterized coefficients seeded from the
+    given ``CV``) — for data without clean pre-yield segments, where a
+    separately fitted stiffness is biased by plastic contamination.  Note
+    ``deviatoric=True`` removes the hydrostatic response from the
+    residual, leaving the bulk-modulus block of a jointly fitted CV only
+    weakly determined.
 
     ``deviatoric=True`` fits the deviatoric stress response only.  Every
     plastic parameter is deviatoric (associated flow is isochoric), while
@@ -283,6 +313,8 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     if fit_drucker:
         theta['drucker'] = jnp.asarray(float(init.get('drucker', 0.)),
                                        deps_paths.dtype)
+    if fit_CV:
+        theta['cv_raw'] = jnp.asarray(_cv_raw_of(CV), deps_paths.dtype)
     scale = jnp.maximum(jnp.sqrt(jnp.mean(sig_paths ** 2)), 1e-12)
     if weights is None:
         w = jnp.ones((), deps_paths.dtype)
@@ -337,6 +369,8 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
         params['voce_b'] = float(jnp.exp(theta['log_vb_peeq'])) / peeq_ref
     if fit_drucker:
         params['drucker'] = float(theta['drucker'])
+    if fit_CV:
+        params['CV'] = np.asarray(_cv_of(theta['cv_raw']))
     if gauge == 'uniax_x':
         c = 0.5 * (params['hill'][0] + params['hill'][2])
         rc = float(np.sqrt(c))

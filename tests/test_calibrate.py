@@ -346,3 +346,44 @@ def test_identified_material_reproduces_fe_solution():
     g_ident = fe_solve(ident)
     rel = abs(g_ident[1] - g_truth[1]) / abs(g_truth[1])
     assert rel < 1e-3, f'identified material FE mismatch {rel:.2e}'
+
+
+def test_joint_elastic_plastic_round_trip():
+    """fit_CV=True recovers all 30 parameters — the 21 Cholesky-
+    parameterized stiffness coefficients jointly with the plastic set —
+    from an isotropic ~10%-off stiffness guess (for data without clean
+    pre-yield segments, where a separately fitted C is biased)."""
+    C = np.zeros((6, 6))
+    C11, C12, C44 = 170.e3, 124.e3, 75.e3
+    C[:3, :3] = C12
+    np.fill_diagonal(C[:3, :3], C11)
+    np.fill_diagonal(C[3:, 3:], C44)
+    CV_true = jnp.asarray(C)
+    hill_t = np.array([1.15, 0.9, 1.0, 1.0, 1.0, 1.0])
+    sy_t, kh_t = 150., 400.
+    m = _mat(hill_t, sy_t, kh_t)
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(16, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(30, 1.5e-3)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(m, deps, CV_true)
+
+    E0, nu0 = 180.e3, 0.28  # isotropic guess, ~10% off
+    l0 = E0 * nu0 / ((1 + nu0) * (1 - 2 * nu0))
+    mu0 = E0 / (2 * (1 + nu0))
+    C0 = np.zeros((6, 6))
+    C0[:3, :3] = l0
+    C0[np.arange(3), np.arange(3)] += 2 * mu0
+    C0[np.arange(3, 6), np.arange(3, 6)] = mu0
+
+    params, info = calibrate.fit_plasticity(deps, sig, jnp.asarray(C0),
+                                            fit_CV=True, steps=150)
+    assert info['loss'][-1] < 1e-20
+    np.testing.assert_allclose(params['CV'], C, rtol=1e-8, atol=1e-3)
+    ct = 0.5 * (hill_t[0] + hill_t[2])
+    rct = np.sqrt(ct)
+    np.testing.assert_allclose(params['sy'], sy_t / rct, rtol=1e-8)
+    np.testing.assert_allclose(params['khard'], kh_t / rct, rtol=1e-6)
+    np.testing.assert_allclose(params['hill'], hill_t / ct, rtol=1e-8)
