@@ -384,7 +384,60 @@ def fit_plasticity(deps_paths, sig_paths, CV, init=None, steps=80,
     info = {'loss': hist,
             'sim': np.asarray(simulate_paths(theta, CV, deps_paths,
                                              maxiter, nsub, peeq_ref))}
+    info['param_std'] = _param_std(jac_j, x, cost, theta, peeq_ref,
+                                   hardening, fit_drucker)
     return params, info
+
+
+def _param_std(jac_j, x, cost, theta, peeq_ref, hardening, fit_drucker):
+    """Gauss-Newton parameter standard errors at the optimum.
+
+    cov_raw = s^2 (J'J)^-1 with s^2 = cost/(m - n) (residuals already
+    scale-normalized), mapped to the NATURAL parameters by the delta
+    method through each transform (exp / softplus).  Reported in the RAW
+    gauge (the uniax_x rescaling treats the gauge constant as fixed — its
+    own uncertainty is pure gauge and carries no information); the exact
+    Hill gauge ray is a NULL direction of J'J, so the covariance is the
+    pseudo-inverse restricted to the identifiable subspace (near-null
+    modes dropped).  Returns None when the fit is at an
+    exact-interpolation floor (stds would be 0/inf noise)."""
+    J = np.asarray(jac_j(x))
+    m, n = J.shape
+    if m <= n or cost < 1e-22:
+        return None
+    JTJ = J.T @ J
+    cov = np.linalg.pinv(JTJ, rcond=1e-10) * (cost / (m - n))
+    if not np.all(np.isfinite(cov)):
+        return None
+    sd = np.sqrt(np.maximum(np.diag(cov), 0.))
+    # raveled order is alphabetical in the theta dict keys
+    keys = sorted(theta.keys())
+    out = {}
+    pos = 0
+    for k in keys:
+        size = int(np.prod(np.shape(theta[k]))) or 1
+        s = sd[pos:pos + size]
+        v = np.asarray(theta[k]).reshape(-1)
+        if k == 'log_sy':
+            out['sy'] = float(np.exp(v[0]) * s[0])
+        elif k == 'log_hill':
+            out['hill'] = np.exp(v) * s
+        elif k == 'raw_dsy':
+            out['khard'] = float(_sigmoid(v[0]) * s[0]) / peeq_ref
+        elif k == 'raw_vr':
+            out['voce_r'] = float(_sigmoid(v[0]) * s[0])
+        elif k == 'log_vb_peeq':
+            out['voce_b'] = float(np.exp(v[0]) * s[0]) / peeq_ref
+        elif k == 'drucker':
+            out['drucker'] = float(s[0])
+        elif k == 'cv_raw':
+            out['cv_raw'] = s  # raw Cholesky space; full-C delta omitted
+        pos += size
+    return out
+
+
+def _sigmoid(x):
+    return 1. / (1. + np.exp(-x))
 
 
 def resample_paths(records, nsteps=30, eps_max=None, cluster=2.0):

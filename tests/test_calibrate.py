@@ -387,3 +387,36 @@ def test_joint_elastic_plastic_round_trip():
     np.testing.assert_allclose(params['sy'], sy_t / rct, rtol=1e-8)
     np.testing.assert_allclose(params['khard'], kh_t / rct, rtol=1e-6)
     np.testing.assert_allclose(params['hill'], hill_t / ct, rtol=1e-8)
+
+
+def test_param_std_noisy_fit():
+    """Gauss-Newton standard errors: on noisy data the fit reports
+    finite, positive parameter stds on the identifiable subspace (the
+    exact gauge ray is a null mode of J'J and must not blow them up),
+    and the actual errors are consistent with them (|z| < 4)."""
+    rng = np.random.default_rng(0)
+    CV = _cv_iso()
+    m = _mat(HILL_TRUE, SY_TRUE, KHARD_TRUE)
+    dirs = rng.normal(size=(12, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(25, 1.6e-3)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None])
+    sig = _simulate(m, deps, CV)
+    sig = sig + 0.5 * rng.normal(size=sig.shape)  # 0.5 MPa noise
+
+    params, info = calibrate.fit_plasticity(deps, sig, CV)
+    std = info['param_std']
+    assert std is not None
+    for k in ('sy', 'khard', 'hill'):
+        v = np.atleast_1d(std[k])
+        assert np.all(np.isfinite(v)) and np.all(v > 0)
+    ct = 0.5 * (HILL_TRUE[0] + HILL_TRUE[2])
+    rct = np.sqrt(ct)
+    assert abs(params['sy'] - SY_TRUE / rct) / std['sy'] < 4.
+    assert abs(params['khard'] - KHARD_TRUE / rct) / std['khard'] < 4.
+    assert np.all(np.abs(params['hill'] - HILL_TRUE / ct) / std['hill'] < 4.)
+    # noiseless fits report None (exact-interpolation floor)
+    sig0 = _simulate(m, deps, CV)
+    _, info0 = calibrate.fit_plasticity(deps, sig0, CV)
+    assert info0['param_std'] is None
