@@ -82,3 +82,25 @@ def test_stress_strain_plot():
     mat.calc_properties(eps=0.01, load_cases=['stx'])
     mat.plot_stress_strain()
     plt.close('all')
+
+
+def test_data_plot_methods():
+    """Smoke the Data plotting suite on the CPFEM set (headless Agg):
+    training-data scatter, stress-strain curves, yield-stress polar
+    scatter, flow-stress locus, and the per-set overview."""
+    import os
+    import pytest
+    DATA = ("/root/reference/examples/Train_CPFEM/"
+            "Data_Random_Texture_Test.json")
+    if not os.path.exists(DATA):
+        pytest.skip("reference CPFEM dataset not available")
+    import matplotlib.pyplot as plt
+    db = FE.Data(DATA, epl_crit=2.e-3, epl_start=1.e-3, epl_max=0.03,
+                 wh_data=True)
+    for call in (db.plot_training_data,
+                 db.plot_stress_strain,
+                 db.plot_yield_stress,
+                 db.plot_yield_locus,
+                 db.plot_set):
+        call()
+        plt.close('all')
