@@ -448,3 +448,30 @@ def test_fit_parallelizes_over_sharded_paths():
     np.testing.assert_allclose(p8['sy'], p1['sy'], rtol=1e-10)
     np.testing.assert_allclose(p8['khard'], p1['khard'], rtol=1e-8)
     np.testing.assert_allclose(p8['hill'], p1['hill'], rtol=1e-10)
+
+
+def test_round_trip_float32():
+    """The fit works at TPU production dtype: explicit f32 inputs keep the
+    whole pipeline (return-map scan, jacfwd, LM linear algebra) in f32
+    and still recover the parameters to ~1e-5."""
+    CV = jnp.asarray(np.asarray(_cv_iso()), jnp.float32)
+    f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    m = _mat(HILL_TRUE, SY_TRUE, KHARD_TRUE)
+    m = jax.tree_util.tree_map(f32, m)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(12, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = np.full(25, 1.6e-3)
+    steps[:5] = 2.5e-4
+    deps = jnp.asarray(dirs[:, None, :] * steps[None, :, None],
+                       jnp.float32)
+    sig = _simulate(m, deps, CV)
+    assert sig.dtype == jnp.float32
+
+    params, info = calibrate.fit_plasticity(deps, sig, CV)
+    ct = 0.5 * (HILL_TRUE[0] + HILL_TRUE[2])
+    rct = np.sqrt(ct)
+    np.testing.assert_allclose(params['sy'], SY_TRUE / rct, rtol=1e-4)
+    np.testing.assert_allclose(params['khard'], KHARD_TRUE / rct,
+                               rtol=1e-3)
+    np.testing.assert_allclose(params['hill'], HILL_TRUE / ct, rtol=1e-4)
