@@ -383,6 +383,12 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
                                 svc_gradient(m, _features(m, sig, epl)))
     hp = m.hill
     seq = seq_hill(m, sig)
+    # guard the 1/(2 seq) division at zero stress: the gradient there is
+    # mathematically undefined (sqrt kink) and every consumer masks such
+    # lanes, but inf would poison masked arithmetic (0 * inf = NaN in the
+    # elastic-fraction tangent blend — hit by zero-increment elements in
+    # the differentiable-FE residual)
+    seq = jnp.where(seq <= 0., 1., seq)
     if m.sdim3 and sig.shape[-1] == 6:
         # host sdim=3 convention (calc_fgrad, material.py:826-855): the
         # principal-space gradient components fill the normal Voigt slots,
