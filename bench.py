@@ -80,6 +80,41 @@ def flagship(dtype, nsv=512, sy=150.):
     return dm, (sv, dc, 0.05, 2.5, sy)
 
 
+def trained_flagship(dtype, compress='auto'):
+    """Production-workload material: the GENUINELY TRAINED Hill-ML SVC of
+    the reference-solve benchmark (REF_SOLVE_svc.npz — trained by the
+    reference package's own train_SVC on the Hill reference), served
+    through the default compression path.  This is what a real serving
+    deployment runs; the 512-random-SV synthetic of ``flagship`` is an
+    information-dense stress test kept for the headline return-map metric's
+    round-over-round continuity.  Returns (dm, CV, eps, nsv, rel) or None
+    when the npz is absent."""
+    import pylabfea_tpu as FE
+    from pylabfea_tpu.ops import constitutive as con
+    from pylabfea_tpu.ops.svc import SVCParams
+
+    spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'REF_SOLVE_svc.npz')
+    if not os.path.exists(spath):
+        return None
+    z = np.load(spath)
+    mat = FE.Material('trained-ML')
+    mat.elasticity(CV=np.asarray(z['CV'], dtype=float))
+    mat.plasticity(sy=float(z['sy']), sdim=6)
+    mat._svc = SVCParams(support_vectors=np.asarray(z['support_vectors']),
+                         dual_coef=np.asarray(z['dual_coef']),
+                         intercept=float(z['intercept']),
+                         gamma=float(z['gamma']))
+    mat.ML_yf = True
+    mat.dev_only = bool(z['dev_only'])
+    mat.scale_seq = float(z['scale_seq'])
+    mat.Ndof = 6
+    dm = con.device_material_from(mat, dtype=dtype, compress=compress)
+    rel = float(getattr(mat, 'svc_compress_rel', 0.))
+    return dm, np.asarray(z['CV'], float), float(z['eps']), \
+        int(dm.sv.shape[0]), rel
+
+
 def host_material(svc_np, sy, CV):
     """Host Material with the same SVC parameters (reference-equivalent
     execution: scalar response per element)."""
@@ -132,7 +167,10 @@ def ref_solve_fields(dtype):
     mat.dev_only = bool(z['dev_only'])
     mat.scale_seq = float(z['scale_seq'])
     mat.Ndof = 6
-    dm = con.device_material_from(mat, dtype=dtype)
+    # default serving path: reduced-set compression with the guaranteed
+    # sub-tolerance decision-function bound (a no-op when the trained SV
+    # set is already minimal — reduce_svc falls back to the exact set)
+    dm = con.device_material_from(mat, dtype=dtype, compress='auto')
     CV = np.asarray(z['CV'], dtype=float)
     eps = float(z['eps'])
 
@@ -347,28 +385,61 @@ def main():
         if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1':
             from pylabfea_tpu.ops import fe_kernels as fek
             NB = int(os.environ.get('PYLABFEA_BENCH_FE_N', '1024'))
-            md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
-                               eps_tot=0.002, dtype=dtype)
-            st = fek.init_state(md, CV, dtype=dtype)
-            st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)
-            sync(st.sig)
-            # timed step in the production configuration: warm-started
-            # from the previous increment (equal fractions), hierarchy
-            # threaded when the tangent field carried over unchanged
-            t0 = time.perf_counter()
-            st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2,
-                                        du0=d['du'], kes0=d.get('kes'),
-                                        dst0=d['dstiff'])
-            sync(st.sig)
-            dt_fe = time.perf_counter() - t0
-            log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, MG-CG '
-                f'{int(d["cg_iters"])} iters, res {float(d["cg_res"]):.1e}): '
-                f'{dt_fe * 1e3:.0f} ms -> {NB * NB / dt_fe:,.0f} '
-                f'element-updates/s')
+            # production workload: the trained Hill-ML SVC (the material a
+            # real deployment serves), through the default compression
+            # path; the 512-random-SV synthetic row is kept alongside for
+            # round-over-round continuity
+            tr = trained_flagship(dtype)
+            if tr is not None:
+                dm_t, CV_t, eps_t, nsv_t, rel_t = tr
+            else:
+                dm_t, CV_t, eps_t, nsv_t, rel_t = dm, CV, 0.002, 512, 0.
+
+            def run_step(dm_s, CV_s, eps_s, n_timed=2):
+                md = fek.rect_mesh(NB, NB, LX=1., LY=1., uniax='y',
+                                   eps_tot=eps_s, dtype=dtype)
+                st = fek.init_state(md, CV_s, dtype=dtype)
+                st, d = fek.load_step_split(md, st, dm_s, CV_s, 0.25,
+                                            n_inner=2)
+                sync(st.sig)
+                # timed steps in the production configuration:
+                # warm-started from the previous increment (equal
+                # fractions), hierarchy threaded when the tangent field
+                # carried over unchanged.  Two consecutive timed steps
+                # pin the warm-start protocol and expose run-to-run
+                # variance (VERDICT r4 item 4).
+                times, iters = [], []
+                for _ in range(n_timed):
+                    t0 = time.perf_counter()
+                    st, d = fek.load_step_split(
+                        md, st, dm_s, CV_s, 0.25, n_inner=2, du0=d['du'],
+                        kes0=d.get('kes'), dst0=d['dstiff'])
+                    sync(st.sig)
+                    times.append(time.perf_counter() - t0)
+                    iters.append([int(x) for x in d['cg_iters_hist']])
+                return md, st, d, times, iters
+
+            md, st, d, times, iters = run_step(dm_t, CV_t, eps_t)
+            dt_fe = times[0]
+            log(f'FE Newton step ({NB}x{NB}={NB * NB:,} elements, trained '
+                f'SVC nsv={nsv_t}, MG-CG iters/inner {iters[0]}, res '
+                f'{float(d["cg_res"]):.1e}): '
+                + ' / '.join(f'{t * 1e3:.0f}' for t in times)
+                + f' ms -> {NB * NB / dt_fe:,.0f} element-updates/s')
             fe_fields = {"mesh": f"{NB}x{NB}", "step_s": round(dt_fe, 4),
+                         "step_s_rep": round(times[1], 4),
                          "fe_element_updates_per_s": float(NB * NB / dt_fe),
-                         "cg_iters": int(d["cg_iters"])}
-            fe_fields.update(phase_fields(md, st, d, dm, CV))
+                         "cg_iters": int(d["cg_iters"]),
+                         "cg_iters_hist": iters,
+                         "step_nsv": nsv_t,
+                         "svc_compress_rel": rel_t}
+            fe_fields.update(phase_fields(md, st, d, dm_t, CV_t))
+            if tr is not None:
+                _, _, d5, t5, i5 = run_step(dm, CV, 0.002)
+                log(f'FE Newton step synthetic 512-SV SVC: '
+                    + ' / '.join(f'{t * 1e3:.0f}' for t in t5)
+                    + f' ms (MG-CG iters/inner {i5[0]})')
+                fe_fields['step_s_synth512'] = round(t5[0], 4)
     except Exception as e:  # never break the headline metric
         log(f'FE step benchmark skipped: {type(e).__name__}: {e}')
 

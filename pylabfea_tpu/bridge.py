@@ -67,7 +67,7 @@ def _bc_spec(model):
     return spec
 
 
-def to_device(model, dtype=jnp.float32):
+def to_device(model, dtype=jnp.float32, compress=None):
     """Convert a meshed host Model to ``(MeshData, mat(s), CV(s))``.
 
     Single-material models return one ``DeviceMaterial`` and one stiffness;
@@ -75,7 +75,9 @@ def to_device(model, dtype=jnp.float32):
     train_hill.py:110-167) return tuples aligned with the mesh's material
     groups, consumed by the grouped return map.  General displacement and
     force BCs (model.py:1070-1206 semantics) are translated into the
-    device BC planes."""
+    device BC planes.  ``compress`` applies reduced-set compression to SVC
+    materials (see ``constitutive.device_material_from``); a no-op for
+    analytic materials."""
     _check_supported(model)
     NX = model.NnodeX - 1
     NY = model.NnodeY - 1
@@ -93,13 +95,22 @@ def to_device(model, dtype=jnp.float32):
     ps = {}
     if model.planestress:
         if multi:
-            raise NotImplementedError(
-                'device bridge: multi-material plane stress requires '
-                'per-element eps_33 condensation (host profile only)')
-        # plane stress: the host element folds the eps_33 condensation into
-        # its B matrices and uses the reduced CV; replicate both
-        ps = dict(planestress=True, ps_CV=np.asarray(el0.CV),
-                  ps_E=el0.Mat.E, ps_nu=el0.Mat.nu)
+            # per-material eps_33 condensation rows (reference laminate
+            # workloads, model.py:498-501): rect_mesh folds them into the
+            # ps_b2 planes consumed by element_deps; the stiffness is
+            # condensation-independent (reduced CV, empty row/col 2)
+            first_cv = {}
+            for i, el in enumerate(model.element):
+                first_cv.setdefault(ids[i], np.asarray(el.CV, float))
+            ps = dict(planestress=True,
+                      ps_CV=tuple(first_cv[k] for k in range(len(mats))),
+                      ps_E=tuple(m.E for m in mats),
+                      ps_nu=tuple(m.nu for m in mats))
+        else:
+            # plane stress: the host element folds the eps_33 condensation
+            # into its B matrices and uses the reduced CV; replicate both
+            ps = dict(planestress=True, ps_CV=np.asarray(el0.CV),
+                      ps_E=el0.Mat.E, ps_nu=el0.Mat.nu)
     md = fek.rect_mesh(NX, NY, LX=model.lenx, LY=model.leny,
                        thick=model.thick, dtype=dtype,
                        bc=_bc_spec(model),
@@ -113,10 +124,12 @@ def to_device(model, dtype=jnp.float32):
             k = ids[i]
             if k not in first:
                 first[k] = np.asarray(el.CV, dtype=float)
-        dms = tuple(con.device_material_from(m, dtype=dtype) for m in mats)
+        dms = tuple(con.device_material_from(m, dtype=dtype,
+                                             compress=compress)
+                    for m in mats)
         CVs = tuple(first[k] for k in range(len(mats)))
         return md, dms, CVs
-    dm = con.device_material_from(el0.Mat, dtype=dtype)
+    dm = con.device_material_from(el0.Mat, dtype=dtype, compress=compress)
     CV = np.asarray(el0.CV, dtype=float)
     return md, dm, CV
 
@@ -420,7 +433,8 @@ def _write_back(model, md, state, sgl, egl, epgl):
 
 
 def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
-                    nsub=4, fast=True, cg_tol=None, n_refine=0):
+                    nsub=4, fast=True, cg_tol=None, n_refine=0,
+                    compress='auto'):
     """Solve the (supported subset of) host model with the device solver and
     write displacements, element states and global history back.
     ``fast=False`` selects the reference-faithful substepped return map
@@ -429,8 +443,13 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     float64, 1e-6 for float32); ``n_refine`` adds mixed-precision
     iterative-refinement passes to each linear solve (f64 true residual
     vs the unrounded operator, f32 correction — requires
-    ``jax_enable_x64`` for full effect, see ``fe_kernels.refine_du``)."""
-    md, dm, CV = to_device(model, dtype=dtype)
+    ``jax_enable_x64`` for full effect, see ``fe_kernels.refine_du``).
+    ``compress`` (default 'auto') serves SVC materials through the
+    reduced-set compression with an absolute decision-function error
+    bound of 10% of the yield-tolerance band — the production serving
+    path; pass None to serve the raw SV set (parity instrument; analytic
+    materials are unaffected either way)."""
+    md, dm, CV = to_device(model, dtype=dtype, compress=compress)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
     egl = [np.zeros(6)]

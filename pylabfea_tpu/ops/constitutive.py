@@ -64,7 +64,24 @@ def _dm_unflatten(aux, children):
 jax.tree_util.register_pytree_node(DeviceMaterial, _dm_flatten, _dm_unflatten)
 
 
-def device_material_from(mat, dtype=jnp.float32, tex=None):
+def _resolve_compress(p, compress):
+    """Reduced-set compression of SVCParams per the ``compress`` spec:
+    True/'auto' = absolute decision-function error budget of 10% of the
+    yield-tolerance band (guaranteed sub-tolerance serving error), a float
+    = absolute RKHS/decision-function error bound, an int = fixed center
+    count.  Returns (reduced params, relative RKHS error)."""
+    from pylabfea_tpu.ops.svc import reduce_svc
+    if isinstance(compress, bool) or compress == 'auto':
+        # (bool checked first: True == 1 would otherwise hit the int arm)
+        if not compress:
+            return p, 0.
+        return reduce_svc(p, abs_tol=0.1 * yf_tolerance)
+    if isinstance(compress, int):
+        return reduce_svc(p, n_out=compress)
+    return reduce_svc(p, abs_tol=float(compress))
+
+
+def device_material_from(mat, dtype=jnp.float32, tex=None, compress=None):
     """Build a DeviceMaterial from a host ``Material``.
 
     Supported SVC feature layouts: cylindrical sdim=3 (Ndof=2; note the
@@ -74,10 +91,29 @@ def device_material_from(mat, dtype=jnp.float32, tex=None):
     states match exactly), 6-D stress (plus ``dev_only``), stress +
     work-hardening (Ndof=15) and texture-conditioned features (fixed
     descriptor via ``tex=``; GSH scaler features and PCA-whitened ADV
-    descriptors both fold into an affine feature map)."""
+    descriptors both fold into an affine feature map).
+
+    ``compress`` (SVC materials only) serves a reduced-set compression of
+    the decision function instead of the raw SV set — ``True``/``'auto'``
+    bounds the absolute decision-function error at 10% of the
+    yield-tolerance band, a float sets that bound, an int fixes the center
+    count (``ops.svc.reduce_svc``).  The reduction is cached on the host
+    material (``mat._svc_reduced``) and its achieved relative RKHS error
+    is exposed as ``mat.svc_compress_rel``; the host material's own SVC
+    is left untouched (use ``Material.compress_svc`` to compress in
+    place)."""
     as_d = lambda x: jnp.asarray(x, dtype=dtype)
     if mat.ML_yf:
         p = mat._svc
+        if compress:
+            spec = compress if not isinstance(compress, bool) else 'auto'
+            cached = getattr(mat, '_svc_reduced', None)
+            if cached is not None and cached[0] == spec:
+                p, rel = cached[1], cached[2]
+            else:
+                p, rel = _resolve_compress(p, compress)
+                mat._svc_reduced = (spec, p, rel)
+            mat.svc_compress_rel = rel
         ndof = p.support_vectors.shape[1]
         txdat = bool(getattr(mat, 'txdat', False))
         if txdat:
@@ -194,13 +230,21 @@ def seq_hill(m: DeviceMaterial, sig):
     quadratic is evaluated on the PRINCIPAL stresses (host eigenvalue
     ordering); otherwise the 6-parameter form acts on the Voigt components
     directly.  J2 (all parameters 1) coincides in both."""
-    hp = m.hill
     if m.sdim3 and sig.shape[-1] == 6:
-        s, _ = jt.sig_princ_device(sig)
-        sh3 = sh4 = sh5 = 0.
+        s = jt.sig_princ_vals(sig)
     else:
         s = sig
-        sh3, sh4, sh5 = sig[..., 3], sig[..., 4], sig[..., 5]
+    return _seq_hill_of(m, sig, s)
+
+
+def _seq_hill_of(m: DeviceMaterial, sig, s):
+    """Hill equivalent stress given the (already principal-transformed for
+    sdim=3) stress rows ``s``; ``sig`` supplies the I1 trace."""
+    hp = m.hill
+    if s.shape[-1] == 3:
+        sh3 = sh4 = sh5 = 0.
+    else:
+        sh3, sh4, sh5 = s[..., 3], s[..., 4], s[..., 5]
     I2 = 0.5 * (hp[0] * (s[..., 0] - s[..., 1]) ** 2 +
                 hp[1] * (s[..., 1] - s[..., 2]) ** 2 +
                 hp[2] * (s[..., 2] - s[..., 0]) ** 2 +
@@ -257,7 +301,7 @@ def _features(m: DeviceMaterial, sig, epl):
         # so 6-D Voigt and 3-D principal inputs give identical values
         if sig.shape[-1] == 6:
             seq = jt.seq_j2_voigt(sig)
-            sp, _ = jt.sig_princ_device(sig)
+            sp = jt.sig_princ_vals(sig)
         else:
             seq = jt.seq_j2_princ(sig)
             sp = sig
@@ -324,8 +368,7 @@ def _svc_stress_grad(m: DeviceMaterial, sig, g_feat):
     maps (1, dtheta) through _jac_cyl into principal space and leaves the
     shear components zero, material.py:537-543)."""
     if m.sv.shape[-1] == 2:
-        sp, _ = jt.sig_princ_device(sig) if sig.shape[-1] == 6 \
-            else (sig, None)
+        sp = jt.sig_princ_vals(sig) if sig.shape[-1] == 6 else sig
         jac = _jac_cyl(sp)
         vec = jnp.stack([jnp.ones_like(g_feat[:, 0]), g_feat[:, 1],
                          jnp.zeros_like(g_feat[:, 0])], axis=-1)
@@ -374,6 +417,45 @@ def yf(m: DeviceMaterial, sig, peeq, epl=None):
     return seq_hill(m, sig) - flow_stress(m, peeq)
 
 
+def _seq_grad_analytic(m: DeviceMaterial, sig):
+    """Fused (seq, grad) of the analytic Hill/J2/Drucker criterion from ONE
+    principal decomposition — the sdim=3 eigen path used to run three times
+    per ``yf_and_fgrad`` call (yf, fgrad's own seq, fgrad's principal
+    transform), which together with gather-lowered axis assignment made the
+    sdim=3 group of a grouped return map cost ~80x its 6-D twin."""
+    hp = m.hill
+    if m.sdim3 and sig.shape[-1] == 6:
+        # host sdim=3 convention (calc_fgrad, material.py:826-855): the
+        # principal-space gradient components fill the normal Voigt slots,
+        # shear components stay ZERO (no eigenvector back-rotation — the
+        # reference's numerical contract, replicated for parity)
+        s = jt.sig_princ_vals(sig)
+    else:
+        s = sig
+    seq = _seq_hill_of(m, sig, s)
+    # guard the 1/(2 seq) division at zero stress: the gradient there is
+    # mathematically undefined (sqrt kink) and every consumer masks such
+    # lanes, but inf would poison masked arithmetic (0 * inf = NaN in the
+    # elastic-fraction tangent blend — hit by zero-increment elements in
+    # the differentiable-FE residual)
+    seqg = jnp.where(seq <= 0., 1., seq)
+    sdev = jt.sig_dev(s)
+    d3 = m.drucker / 3.
+    g0 = ((hp[0] + hp[2]) * sdev[..., 0] - hp[0] * sdev[..., 1]
+          - hp[2] * sdev[..., 2]) / (2. * seqg) + d3
+    g1 = ((hp[1] + hp[0]) * sdev[..., 1] - hp[0] * sdev[..., 0]
+          - hp[1] * sdev[..., 2]) / (2. * seqg) + d3
+    g2 = ((hp[2] + hp[1]) * sdev[..., 2] - hp[2] * sdev[..., 0]
+          - hp[1] * sdev[..., 1]) / (2. * seqg) + d3
+    if s.shape[-1] == 3:
+        zero = jnp.zeros_like(seqg)
+        return seq, jnp.stack([g0, g1, g2, zero, zero, zero], axis=-1)
+    g3 = 3. * hp[3] * sdev[..., 3] / seqg
+    g4 = 3. * hp[4] * sdev[..., 4] / seqg
+    g5 = 3. * hp[5] * sdev[..., 5] / seqg
+    return seq, jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
+
+
 def fgrad(m: DeviceMaterial, sig, epl=None):
     """Yield-surface gradient in stress space; sig (N, 6).  (Host
     convention: the stress-feature components / scale_seq, with no
@@ -381,38 +463,7 @@ def fgrad(m: DeviceMaterial, sig, epl=None):
     if m.is_svc:
         return _svc_stress_grad(m, sig,
                                 svc_gradient(m, _features(m, sig, epl)))
-    hp = m.hill
-    seq = seq_hill(m, sig)
-    # guard the 1/(2 seq) division at zero stress: the gradient there is
-    # mathematically undefined (sqrt kink) and every consumer masks such
-    # lanes, but inf would poison masked arithmetic (0 * inf = NaN in the
-    # elastic-fraction tangent blend — hit by zero-increment elements in
-    # the differentiable-FE residual)
-    seq = jnp.where(seq <= 0., 1., seq)
-    if m.sdim3 and sig.shape[-1] == 6:
-        # host sdim=3 convention (calc_fgrad, material.py:826-855): the
-        # principal-space gradient components fill the normal Voigt slots,
-        # shear components stay ZERO (no eigenvector back-rotation — the
-        # reference's numerical contract, replicated for parity)
-        s = jt.sig_princ_device(sig)[0]
-        zero = jnp.zeros_like(seq)
-    else:
-        s = sig
-        zero = None
-    sdev = jt.sig_dev(s)
-    d3 = m.drucker / 3.
-    g0 = ((hp[0] + hp[2]) * sdev[..., 0] - hp[0] * sdev[..., 1]
-          - hp[2] * sdev[..., 2]) / (2. * seq) + d3
-    g1 = ((hp[1] + hp[0]) * sdev[..., 1] - hp[0] * sdev[..., 0]
-          - hp[1] * sdev[..., 2]) / (2. * seq) + d3
-    g2 = ((hp[2] + hp[1]) * sdev[..., 2] - hp[2] * sdev[..., 0]
-          - hp[1] * sdev[..., 1]) / (2. * seq) + d3
-    if zero is not None:
-        return jnp.stack([g0, g1, g2, zero, zero, zero], axis=-1)
-    g3 = 3. * hp[3] * sdev[..., 3] / seq
-    g4 = 3. * hp[4] * sdev[..., 4] / seq
-    g5 = 3. * hp[5] * sdev[..., 5] / seq
-    return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-1)
+    return _seq_grad_analytic(m, sig)[1]
 
 
 def hessian(m: DeviceMaterial, sig, epl=None):
@@ -448,7 +499,8 @@ def yf_and_fgrad(m: DeviceMaterial, sig, peeq, epl=None):
     if m.is_svc:
         f, g = svc_decision_and_gradient(m, _features(m, sig, epl))
         return f, _svc_stress_grad(m, sig, g), khard_of(m, g)
-    return yf(m, sig, peeq), fgrad(m, sig), hard_modulus(m, peeq)
+    seq, g = _seq_grad_analytic(m, sig)
+    return seq - flow_stress(m, peeq), g, hard_modulus(m, peeq)
 
 
 def ml_yf_dist(m: DeviceMaterial, sig, peeq, epl=None, khard=None,

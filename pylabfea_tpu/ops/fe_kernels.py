@@ -51,6 +51,8 @@ class MeshData(NamedTuple):
     fixed_val: jnp.ndarray   # prescribed displacement values (per unit load)
     force: jnp.ndarray       # external force pattern (per unit load)
     perm: jnp.ndarray        # (Nel,) int32 material-sort permutation; (0,) if single-material
+    inv_perm: jnp.ndarray    # (Nel,) int32 inverse of perm (inv_perm[perm[j]] = j); (0,) if single-material
+    ps_b2: jnp.ndarray       # (8, NX, NY) per-element eps_33 condensation row (multi-material plane stress); (0,) else
     ndof: int                # static (aux data)
     nel: int                 # static (aux data)
     grid: tuple              # static (NX, NY, lx, ly, uniax) structured info, else None
@@ -229,20 +231,42 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         ids = np.asarray(mat_map, dtype=np.int64).reshape(NX * NY)
         nmat = int(ids.max()) + 1
         perm = np.argsort(ids, kind='stable').astype(np.int32)
+        inv_perm = np.argsort(perm).astype(np.int32)
         counts = np.bincount(ids, minlength=nmat)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         groups = tuple((int(s), int(c)) for s, c in zip(starts, counts))
     else:
         perm = np.zeros(0, dtype=np.int32)
+        inv_perm = np.zeros(0, dtype=np.int32)
         groups = None
+    ps_b2 = np.zeros(0)
     if planestress:
         if ps_CV is None or ps_E is None or ps_nu is None:
             raise ValueError('planestress=True requires ps_CV, ps_E, ps_nu')
         if groups is not None:
-            raise NotImplementedError(
-                'multi-material plane stress: the eps_33 condensation row '
-                'is material-dependent; use planestress=False')
-        Bs = _quad_B(lx, ly, ps_CV=ps_CV, ps_E=ps_E, ps_nu=ps_nu)
+            # multi-material plane stress (the reference's laminate
+            # workloads, model.py:498-501 / tests/test_basic.py:84-103):
+            # the per-material eps_33 condensation row NEVER enters the
+            # stiffness — the reduced CV has empty row/column 2, so
+            # B^T C B is row-2-independent — it only evaluates the
+            # thickness strain from the in-plane solution.  The shared B
+            # therefore stays condensation-free and the per-element
+            # condensation row lives in the ps_b2 planes consumed by
+            # ``element_deps``:
+            #   eps_33(e) = b2_k(e) . u_e,
+            #   b2_k = -(nu_k / E_k) [(C_k Bsum)_0 + (C_k Bsum)_1]
+            # (ps_CV / ps_E / ps_nu are tuples aligned with the material
+            # groups).
+            Bs = _quad_B(lx, ly)
+            Bsum_np = Bs.sum(axis=0)
+            ids2 = np.asarray(mat_map, dtype=np.int64).reshape(NX * NY)
+            rows = np.zeros((len(ps_CV), 8))
+            for k, (CVk, Ek, nuk) in enumerate(zip(ps_CV, ps_E, ps_nu)):
+                hh = np.asarray(CVk, float) @ Bsum_np
+                rows[k] = -nuk * (hh[0, :] + hh[1, :]) / Ek
+            ps_b2 = rows[ids2].T.reshape(8, NX, NY)
+        else:
+            Bs = _quad_B(lx, ly, ps_CV=ps_CV, ps_E=ps_E, ps_nu=ps_nu)
     else:
         Bs = _quad_B(lx, ly)
     vel = lx * ly * thick
@@ -256,6 +280,8 @@ def rect_mesh(NX, NY, LX=1., LY=1., thick=1., uniax='y', eps_tot=0.01,
         fixed_val=jnp.asarray(fixed_val, dtype=dtype),
         force=jnp.asarray(force, dtype=dtype),
         perm=jnp.asarray(perm),
+        inv_perm=jnp.asarray(inv_perm),
+        ps_b2=jnp.asarray(ps_b2, dtype=dtype),
         ndof=ndof, nel=NX * NY, grid=(NX, NY, lx, ly, uniax),
         groups=groups)
     # stash the UNROUNDED float64 geometry factors (B is computed in f64
@@ -512,7 +538,15 @@ def _axpy(a, x, y):
 
 def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
     """Jacobi-preconditioned conjugate gradients under lax.while_loop.
-    Vectors may be arrays or pytrees of planes (grid fast path)."""
+    Vectors may be arrays or pytrees of planes (grid fast path).
+
+    A STALL EXIT accompanies the tolerance test: float32 CG bottoms out at
+    a rounding floor ~kappa * eps32 relative, and when the requested
+    tolerance sits below that floor the loop would otherwise burn the full
+    ``maxiter`` budget making no progress (observed at 2048^2: the same
+    config that converges in ~20 iterations at 1024^2 ran all 100).  The
+    loop exits once the residual has not improved on its running best for
+    4 consecutive iterations."""
     tmap = jax.tree_util.tree_map
     minv = tmap(lambda d: 1. / d, diag)
     r = _axpy(-1., apply_fn(x0), b)
@@ -520,13 +554,14 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
     p = z
     rz = _dot(r, z)
     bnorm = jnp.maximum(_norm(b), 1e-30)
+    rn0 = _norm(r)
 
     def cond(s):
-        x, r, p, rz, it = s
-        return (_norm(r) > tol * bnorm) & (it < maxiter)
+        x, r, p, rz, it, best, nstall = s
+        return (_norm(r) > tol * bnorm) & (it < maxiter) & (nstall < 4)
 
     def body(s):
-        x, r, p, rz, it = s
+        x, r, p, rz, it, best, nstall = s
         Ap = apply_fn(p)
         alpha = rz / _dot(p, Ap)
         x = _axpy(alpha, p, x)
@@ -534,22 +569,35 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
         z = tmap(lambda m, q: m * q, minv, r)
         rz_new = _dot(r, z)
         p = _axpy(rz_new / rz, p, z)
-        return x, r, p, rz_new, it + 1
+        rn = _norm(r)
+        nstall = jnp.where(rn < 0.995 * best, 0, nstall + 1)
+        return x, r, p, rz_new, it + 1, jnp.minimum(best, rn), nstall
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    x, r, p, rz, it, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r, p, rz, 0, rn0, 0))
     return x, _norm(r) / bnorm, it
 
 
 def element_deps(md: MeshData, du):
-    """Element-average strain increments from nodal displacement increment."""
+    """Element-average strain increments from nodal displacement increment.
+    Multi-material plane-stress meshes carry the per-element eps_33
+    condensation row in ``md.ps_b2`` (the shared ``Bsum`` row 2 is zero
+    there — see ``rect_mesh``)."""
     if md.grid is not None:
         up = _gather_planes(md, _split(du))
         planes = [sum(md.Bsum[a, i] * up[i] for i in range(8))
                   for a in range(6)]
+        if md.ps_b2.ndim == 3:
+            planes[2] = sum(md.ps_b2[i] * up[i] for i in range(8))
         return jnp.stack(planes, -1).reshape(md.nel, 6)
     ue = gather_element(md, du)
-    return jnp.einsum('ai,ei->ea', md.Bsum, ue,
+    deps = jnp.einsum('ai,ei->ea', md.Bsum, ue,
                       preferred_element_type=du.dtype)
+    if md.ps_b2.ndim == 3:
+        e33 = jnp.einsum('ei,ei->e', md.ps_b2.reshape(8, -1).T, ue,
+                         preferred_element_type=du.dtype)
+        deps = deps.at[:, 2].set(e33)
+    return deps
 
 
 def respond_grouped(md: MeshData, mat, CV, sig, epl, deps, fast=True,
@@ -589,8 +637,12 @@ def respond_grouped(md: MeshData, mat, CV, sig, epl, deps, fast=True,
                 mat[k], (sig_g[sl], epl_g[sl]), deps_g[sl], CVk))
     fy_g, sig_n, depl_n, grad_n = (jnp.concatenate([p[i] for p in parts])
                                    for i in range(4))
-    # groups tile [0, Nel) in permuted order: original[perm[j]] = block[j]
-    scat = lambda x: jnp.zeros_like(x).at[md.perm].set(x)
+    # groups tile [0, Nel) in permuted order: original[perm[j]] = block[j],
+    # i.e. original[i] = block[inv_perm[i]] — evaluated as a GATHER: TPU
+    # row scatters of the (Nel, 6, 6) tangent block cost ~105 ms at 1024^2
+    # where the equivalent inverse-permutation gather is several-fold
+    # cheaper (scatters serialize on the update combiner)
+    scat = lambda x: x[md.inv_perm]
     return scat(fy_g), scat(sig_n), scat(depl_n), scat(grad_n)
 
 
@@ -1072,6 +1124,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     held = False
     strict_abs = gate and (state.elstiff.dtype == jnp.float64
                            or gate_dst_rtol == 0.)
+    cg_hist = []  # device scalars; read lazily by diagnostics consumers
     for i in range(count):
         # warm-start each equilibrium iteration with the previous increment
         # (near-identical systems; recycles the Krylov work)
@@ -1103,6 +1156,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
         else:
             du, cg_res, cg_it = solve_linear(md, elstiff, bc_val, force,
                                              cg_tol, cg_maxiter, x0=du)
+        cg_hist.append(cg_it)
         st = state._replace(elstiff=elstiff)
         fy, sig_n, depl_n, elstiff, deps, dst = _respond_and_update(
             md, st, mat, CV, du, fast, nsub)
@@ -1138,7 +1192,7 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
                       eps=state.eps + deps, elstiff=elstiff)
     diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,
-            'cg_iters': cg_it, 'du': du,
+            'cg_iters': cg_it, 'cg_iters_hist': cg_hist, 'du': du,
             'glob_sig': jnp.mean(sig_n, axis=0),
             'glob_eps': jnp.mean(new.eps, axis=0),
             'glob_epl': jnp.mean(new.epl, axis=0)}

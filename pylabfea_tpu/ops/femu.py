@@ -58,7 +58,8 @@ def _respond_ft(md, mats, CVs, sig0, epl0, deps, maxiter, nsub=4):
             mats[k], (sig_g[sl], epl_g[sl]), deps_g[sl], CVk,
             maxiter, nsub, fixed_trip=True))
     out = tuple(jnp.concatenate([p[i] for p in parts]) for i in range(4))
-    scat = lambda x: jnp.zeros_like(x).at[md.perm].set(x)
+    # inverse-permutation GATHER (see fe_kernels.respond_grouped)
+    scat = lambda x: x[md.inv_perm]
     return tuple(scat(x) for x in out)
 
 

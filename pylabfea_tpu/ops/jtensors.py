@@ -57,6 +57,17 @@ def seq_j2_princ(sp):
 
 _AXIS_PERMS = np.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
                         [1, 2, 0], [2, 0, 1], [2, 1, 0]])
+# permutation matrices P[k, i, perm_k[i]] = 1 (selection as matmul) and
+# permutation parities: TPU dynamic gathers (take_along_axis) over batched
+# minor dims serialize catastrophically — measured 1551 ms vs 19.6 ms for a
+# 466k-lane analytic return map whose only difference was the principal-
+# stress path — so the axis assignment is evaluated as one-hot contractions
+# (exact: each output is 1.0 * w[perm[i]] + 0.0 + 0.0)
+_PERM_MATS = np.zeros((6, 3, 3))
+for _k, _p in enumerate(_AXIS_PERMS):
+    for _i, _j in enumerate(_p):
+        _PERM_MATS[_k, _i, _j] = 1.
+_PERM_SIGNS = np.array([np.linalg.det(P) for P in _PERM_MATS])
 
 
 def _eigh_sym3_closed(st):
@@ -118,10 +129,38 @@ def _eigh_sym3_closed(st):
     return w, v
 
 
+def _axis_onehot(v, dtype):
+    """One-hot (.., 6) selection over the axis-assignment permutations:
+    the permutation maximizing sum_r |v[r, perm[r]]| (each material axis
+    gets the eigenvector that dominates it), first-max tie resolution —
+    identical semantics to ``argmax`` + gather, expressed gather-free."""
+    absv = jnp.abs(v)  # rows = axes, columns = eigenvectors
+    scores = jnp.stack(
+        [absv[..., 0, p[0]] + absv[..., 1, p[1]] + absv[..., 2, p[2]]
+         for p in _AXIS_PERMS], axis=-1)
+    best = jnp.argmax(scores, axis=-1)
+    return (best[..., None] == jnp.arange(6)).astype(dtype)
+
+
+def sig_princ_vals(sig):
+    """Principal stresses assigned to the material axes — the values-only
+    fast path of ``sig_princ_device`` (no eigenvector matrix, no
+    orientation sign): ``spa[i] = w[perm[i]]`` evaluated as a one-hot
+    contraction.  This is what the constitutive kernels (``seq_hill``,
+    ``fgrad`` of sdim=3 materials, cylindrical SVC features) consume —
+    none of them use the eigenvectors."""
+    st = voigt_to_tensor(sig)
+    w, v = _eigh_sym3_closed(st)
+    onehot = _axis_onehot(v, sig.dtype)
+    S = jnp.einsum('...k,kij->...ij', onehot,
+                   jnp.asarray(_PERM_MATS, sig.dtype))
+    return jnp.einsum('...ij,...j->...i', S, w)
+
+
 def sig_princ_device(sig):
-    """Principal stresses + eigenvectors on device via ``eigh``, with the
-    eigen-pairs assigned to the material axes by the OPTIMAL alignment:
-    the permutation maximizing sum_r |v[r, perm[r]]| over all 6 axis
+    """Principal stresses + eigenvectors on device, with the eigen-pairs
+    assigned to the material axes by the OPTIMAL alignment: the
+    permutation maximizing sum_r |v[r, perm[r]]| over all 6 axis
     assignments (each axis gets the eigenvector that dominates it).
 
     This is invariant to the eigendecomposition's internal column order —
@@ -132,19 +171,25 @@ def sig_princ_device(sig):
     workloads the two conventions coincide; ambiguous rotated states
     resolve here deterministically (first-max permutation, eigh ascending
     base order) instead of by LAPACK internals.
+
+    The permutation is applied as one-hot matmuls, not gathers (see
+    ``_PERM_MATS``); values are bit-identical to the gather formulation.
     """
     st = voigt_to_tensor(sig)
     w, v = _eigh_sym3_closed(st)
-    absv = jnp.abs(v)  # rows = axes, columns = eigenvectors
-    scores = jnp.stack(
-        [absv[..., 0, p[0]] + absv[..., 1, p[1]] + absv[..., 2, p[2]]
-         for p in _AXIS_PERMS], axis=-1)
-    best = jnp.argmax(scores, axis=-1)
-    perm = jnp.asarray(_AXIS_PERMS)[best]          # (..., 3)
-    spa = jnp.take_along_axis(w, perm, axis=-1)
-    eva = jnp.take_along_axis(v, perm[..., None, :], axis=-1)
-    det = jnp.linalg.det(eva)
-    eva = jnp.where((det < 0)[..., None, None], -eva, eva)
+    onehot = _axis_onehot(v, sig.dtype)
+    S = jnp.einsum('...k,kij->...ij', onehot,
+                   jnp.asarray(_PERM_MATS, sig.dtype))
+    spa = jnp.einsum('...ij,...j->...i', S, w)
+    # eva[.., a, i] = v[.., a, perm[i]]
+    eva = jnp.einsum('...aj,...ij->...ai', v, S)
+    # right-handedness: det(eva) = det(v) * sign(perm); det(v) via the
+    # scalar triple product of its columns (elementwise, no LU)
+    c0, c1, c2 = v[..., :, 0], v[..., :, 1], v[..., :, 2]
+    detv = jnp.sum(c0 * jnp.cross(c1, c2), axis=-1)
+    psign = jnp.einsum('...k,k->...', onehot,
+                       jnp.asarray(_PERM_SIGNS, sig.dtype))
+    eva = jnp.where((detv * psign < 0)[..., None, None], -eva, eva)
     return spa, eva
 
 

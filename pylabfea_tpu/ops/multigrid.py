@@ -450,13 +450,24 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
     r0 = tuple(jnp.where(f, 0., bi - ai) for f, bi, ai in zip(fix, b, Ax0))
     bnorm = jnp.maximum(fek._norm(b), 1e-30)
     p0 = tuple(jnp.zeros_like(ri) for ri in r0)
+    rn0 = fek._norm(r0)
 
+    # stall exit: float32 CG bottoms out at a rounding floor
+    # ~ kappa(M^-1 K) * eps32 relative; when `tol` sits below that floor
+    # the tolerance test never fires and the loop burns the whole
+    # `maxiter` budget making no progress (observed at 2048^2: 100
+    # iterations where 1024^2 takes ~20, the last ~75 flat at ~2e-6).
+    # Exit once the residual has not improved on its running best for 4
+    # consecutive iterations — the iterate is then at the precision
+    # floor, which is the best any further f32 Krylov work can deliver
+    # (refine_du is the knob that pushes past it).
     def cond(s):
-        x, r, p, rz, it = s
-        return (fek._norm(r) > tol * bnorm) & (it < maxiter)
+        x, r, p, rz, it, best, nstall = s
+        return ((fek._norm(r) > tol * bnorm) & (it < maxiter)
+                & (nstall < 4))
 
     def body(s):
-        x, r, p, rz_prev, it = s
+        x, r, p, rz_prev, it, best, nstall = s
         z = v_cycle(levels, r, nu=nu)
         rz = fek._dot(r, z)
         beta = jnp.where(it == 0, 0., rz / rz_prev)
@@ -466,8 +477,10 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
         x = fek._axpy(alpha, p, x)
         r = tuple(jnp.where(f, 0., ri - alpha * ai)
                   for f, ri, ai in zip(fix, r, Ap))
-        return x, r, p, rz, it + 1
+        rn = fek._norm(r)
+        nstall = jnp.where(rn < 0.995 * best, 0, nstall + 1)
+        return x, r, p, rz, it + 1, jnp.minimum(best, rn), nstall
 
-    x, r, p, rz, it = jax.lax.while_loop(
-        cond, body, (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0))
+    x, r, p, rz, it, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0, rn0, 0))
     return x, fek._norm(r) / bnorm, it

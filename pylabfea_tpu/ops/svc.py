@@ -154,7 +154,7 @@ def _refine_centers(X, a, Z0, gamma, iters=300, lr=0.02):
 
 
 def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
-               max_rounds=60):
+               max_rounds=60, abs_tol=None):
     """Reduced-set compression of a trained RBF SVC (serving optimization).
 
     Approximates the decision function's RKHS element
@@ -171,8 +171,12 @@ def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
 
     Parameters: ``n_out`` fixes the center count; with ``n_out=None`` the
     count doubles from 16 until the RELATIVE RKHS error
-    ``||w - w~||_H / ||w||_H`` meets ``tol``.  Returns
-    ``(reduced SVCParams, relative RKHS error)``.
+    ``||w - w~||_H / ||w||_H`` meets ``tol``.  ``abs_tol`` instead bounds
+    the ABSOLUTE decision-function error ``sup_x |f(x) - f~(x)| <=
+    ||w - w~||_H <= abs_tol`` — the natural budget when the consumer is a
+    yield check against the dimensionless ``yf_tolerance`` band (set e.g.
+    ``abs_tol = 0.1 * yf_tolerance`` for a guaranteed sub-tolerance
+    serving error).  Returns ``(reduced SVCParams, relative RKHS error)``.
     """
     X = np.asarray(params.support_vectors, float)
     a = np.asarray(params.dual_coef, float)
@@ -180,8 +184,16 @@ def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
     m = X.shape[0]
     Kxx = _rbf_kernel(X, X, g)
     wnorm2 = float(a @ Kxx @ a)
+    if abs_tol is not None:
+        tol = float(abs_tol) / np.sqrt(max(wnorm2, 1e-300))
 
     def fit(k, seed):
+        if k >= m:
+            # exact: the full SV set reproduces w identically — never let
+            # center refinement degrade the k = m case (measured: Lloyd +
+            # Adam moved the full-count centers to a 5e-3 relative error
+            # where copying the SVs is error-free)
+            return X.copy(), a.copy(), 0.
         rng = np.random.default_rng(seed)
         wgt = np.abs(a) + 1e-12
         # k-means++-style seeding by weight, then Lloyd iterations
@@ -195,6 +207,7 @@ def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
                 sel = lab == j
                 if np.any(sel):
                     Z[j] = np.average(X[sel], axis=0, weights=wgt[sel])
+        Zkm = Z.copy()
         # refine the centers on the RKHS objective itself (Schoelkopf
         # reduced-set): with c eliminated in closed form the error is
         # e2(Z) = ||w||^2 - q(Z), q = (Kzx a)' Kzz^-1 (Kzx a); maximize q
@@ -215,11 +228,21 @@ def reduce_svc(params: SVCParams, n_out=None, tol=1e-3, seed=0,
             Z = _refine_centers(jnp.asarray(X), jnp.asarray(a),
                                 jnp.asarray(Z), g)
         Z = np.asarray(Z, float)
-        Kzz = _rbf_kernel(Z, Z, g)
-        Kzx = _rbf_kernel(Z, X, g)
-        c = np.linalg.solve(Kzz + 1e-10 * np.eye(Z.shape[0]), Kzx @ a)
-        e2 = wnorm2 - 2. * float(c @ Kzx @ a) + float(c @ Kzz @ c)
-        rel = float(np.sqrt(max(e2, 0.) / max(wnorm2, 1e-300)))
+
+        def project(Zc):
+            Kzz = _rbf_kernel(Zc, Zc, g)
+            Kzx = _rbf_kernel(Zc, X, g)
+            c = np.linalg.solve(Kzz + 1e-10 * np.eye(Zc.shape[0]), Kzx @ a)
+            e2 = wnorm2 - 2. * float(c @ Kzx @ a) + float(c @ Kzz @ c)
+            return c, float(np.sqrt(max(e2, 0.) / max(wnorm2, 1e-300)))
+
+        # keep whichever center set projects better — Adam ascent of q(Z)
+        # usually improves on the k-means pooling, but near k ~ m it can
+        # wander off a solution that was already near-exact
+        c, rel = project(Z)
+        c_km, rel_km = project(Zkm)
+        if rel_km < rel:
+            Z, c, rel = Zkm, c_km, rel_km
         return Z, c, rel
 
     if n_out is not None:

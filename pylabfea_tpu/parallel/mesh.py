@@ -41,6 +41,8 @@ def shard_mesh_data(md: MeshData, mesh: Mesh) -> MeshData:
         fixed_val=dev(md.fixed_val.reshape(-1), rep),
         force=dev(md.force.reshape(-1), rep),
         perm=dev(md.perm, rep),
+        inv_perm=dev(md.inv_perm, rep),
+        ps_b2=dev(md.ps_b2, rep),
         ndof=md.ndof, nel=md.nel, grid=None, groups=md.groups)
 
 

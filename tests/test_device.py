@@ -565,3 +565,54 @@ def test_load_step_split_gate_matches_fully_iterated(hill_mat):
     from pylabfea_tpu.core.tensors import yf_tolerance
     assert float(d_g['fy_max']) <= yf_tolerance * 1.0001 * hill_mat.sy
     assert float(d_g['dstiff']) <= 1.e-3
+
+
+def test_multimat_planestress_laminate_device_vs_host():
+    """The reference's flagship plane-stress LAMINATE (5 sections, Voigt
+    golden — reference tests/test_basic.py:84-103) on the DEVICE path:
+    the per-material eps_33 condensation rows live in the mesh's ps_b2
+    planes (fe_kernels.rect_mesh; the stiffness itself is
+    condensation-independent because the reduced CV has an empty row/col
+    2, model.py:498-501).  Device solution must match the host solver's
+    global stress/strain AND the per-element thickness strains."""
+    from pylabfea_tpu import bridge
+
+    fem_v = FE.Model(dim=2, planestress=True)
+    fem_v.geom([2, 1, 2, 1, 2], LY=4.)
+    mat1 = FE.Material()
+    mat1.elasticity(E=100.e3, nu=0.35)
+    mat2 = FE.Material()
+    mat2.elasticity(E=300.e3, nu=0.3)
+    fem_v.assign([mat1, mat2, mat1, mat2, mat1])
+    fem_v.bcleft(0.)
+    fem_v.bcbot(0.)
+    fem_v.bcright(0., 'force')
+    fem_v.bctop(0.1 * fem_v.leny, 'disp')
+    fem_v.mesh(NX=16, NY=4)
+    fem_v.solve()
+    fem_v.calc_global()
+
+    fe_d = FE.Model(dim=2, planestress=True)
+    fe_d.geom([2, 1, 2, 1, 2], LY=4.)
+    fe_d.assign([mat1, mat2, mat1, mat2, mat1])
+    fe_d.bcleft(0.)
+    fe_d.bcbot(0.)
+    fe_d.bcright(0., 'force')
+    fe_d.bctop(0.1 * fe_d.leny, 'disp')
+    fe_d.mesh(NX=16, NY=4)
+    bridge.solve_on_device(fe_d, nsteps=1, n_inner=1, dtype=jnp.float64,
+                           cg_tol=1e-13)
+
+    # Voigt-average stiffness golden (the reference asserts the same)
+    E_voigt = (100.e3 * 6. + 300.e3 * 2.) / 8.
+    assert abs(fe_d.glob['sig'][1] / fe_d.glob['eps'][1] - E_voigt) \
+        / E_voigt < 1e-3
+    np.testing.assert_allclose(fe_d.glob['sig'], fem_v.glob['sig'],
+                               rtol=1e-8, atol=1e-6)
+    np.testing.assert_allclose(fe_d.glob['eps'], fem_v.glob['eps'],
+                               rtol=1e-8, atol=1e-10)
+    # per-element thickness strains (the condensation row itself)
+    e33_h = np.array([el.eps[2] for el in fem_v.element])
+    e33_d = np.array([el.eps[2] for el in fe_d.element])
+    assert np.abs(e33_h).max() > 1e-3  # non-trivial field
+    np.testing.assert_allclose(e33_d, e33_h, rtol=1e-8, atol=1e-12)
