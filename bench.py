@@ -181,13 +181,19 @@ def ref_solve_fields(dtype):
         md = fek.rect_mesh(N, N, LX=2., LY=2., uniax='y', eps_tot=eps,
                            dtype=dtype)
         # one throwaway pass to exclude compile time (the reference's
-        # recorded wall-clock is steady-state Python, not compilation)
+        # recorded wall-clock is steady-state Python, not compilation).
+        # nsub=16: the fast integrator is first-order in the substep size
+        # and converges to the faithful path integral as nsub grows —
+        # measured parity vs the converged anchor 3.0e-2 (nsub=4) ->
+        # 9.6e-3 (nsub=16), with tolerance scaling contributing NOTHING
+        # (tools/dbg_parity_sweep.py); at these mesh sizes the solve is
+        # latency-dominated, so the extra substeps cost ~no wall-clock
         st, _ = fek.solve_uniaxial(md, dm, CV, nsteps=8, n_inner=2,
-                                   dtype=dtype, gate=True)
+                                   dtype=dtype, gate=True, nsub=16)
         sync(st.sig)
         t0 = time.perf_counter()
         st, hist = fek.solve_uniaxial(md, dm, CV, nsteps=8, n_inner=2,
-                                      dtype=dtype, gate=True)
+                                      dtype=dtype, gate=True, nsub=16)
         sync(st.sig)
         dt = time.perf_counter() - t0
         sig = np.asarray(hist[-1][0], float)

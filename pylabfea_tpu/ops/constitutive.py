@@ -838,6 +838,13 @@ def response_fast_chunked(m: DeviceMaterial, state, deps, CV, maxiter=12,
     return unb(fy), unb(s), unb(dp), unb(g)
 
 
+#: scale on the cutting-plane projection's exit tolerance (response_fast):
+#: 1.0 = the reference's yf_tolerance band; < 1 polishes the return map
+#: closer to the exact yield locus (costs ~1 extra Newton trip per 10x).
+#: Captured at trace time — call response_fast.clear_cache() after changing.
+PROJ_TOL_SCALE = 1.0
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
                   fixed_trip=False):
@@ -898,9 +905,9 @@ def response_fast(m: DeviceMaterial, state, deps, CV, maxiter=12, nsub=1,
         the consistent tangent needs — no separate trailing pass."""
         peeq_in = jt.eps_eq(epl0 + depl_in)
         if m.is_svc:
-            toler = jnp.full_like(peeq_in, yf_tolerance)
+            toler = jnp.full_like(peeq_in, yf_tolerance * PROJ_TOL_SCALE)
         else:
-            toler = yf_tolerance * flow_stress(m, peeq_in)
+            toler = yf_tolerance * PROJ_TOL_SCALE * flow_stress(m, peeq_in)
         sig_tr = sig_in + _mm(deps_s, CV.T)
         epl_in = epl0 + depl_in
         f_tr, a_tr, kh_tr = yf_and_fgrad(m, sig_tr, peeq_in, epl_in)

@@ -570,7 +570,12 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
         rz_new = _dot(r, z)
         p = _axpy(rz_new / rz, p, z)
         rn = _norm(r)
-        nstall = jnp.where(rn < 0.995 * best, 0, nstall + 1)
+        # healthy MG/Jacobi-CG contracts the residual >= 2x per iteration;
+        # four consecutive iterations improving by < 5% means the solve is
+        # grinding at the f32 floor (measured at 2048^2: the same system a
+        # cold solve finishes in 8 iterations ground 78 at 0.5%/iteration
+        # after a warm start from a near-singular mid-step tangent)
+        nstall = jnp.where(rn < 0.95 * best, 0, nstall + 1)
         return x, r, p, rz_new, it + 1, jnp.minimum(best, rn), nstall
 
     x, r, p, rz, it, _, _ = jax.lax.while_loop(
@@ -1046,7 +1051,8 @@ def _gate_scale(md: MeshData, mat):
 def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     n_inner=2, cg_tol=None, cg_maxiter=100, fast=True,
                     nsub=4, du0=None, gate=False, max_inner=15, kes0=None,
-                    dst0=None, n_refine=0, gate_dst_rtol=1e-4):
+                    dst0=None, n_refine=0, gate_dst_rtol=1e-4,
+                    commit_f64=False):
     """Host-orchestrated load step from two small jitted programs (linear
     solve, response+tangent-update).  Functionally equivalent to
     ``load_step`` but compiles in seconds instead of tens of minutes for
@@ -1069,6 +1075,19 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
     in float64 and RELATIVE (``gate_dst_rtol * |CV|_F``, default 1e-4)
     in float32, whose tangents oscillate at the rounding floor far
     above the absolute threshold — see the inline comment.
+
+    ``commit_f64=True`` (float32 states; requires ``jax_enable_x64``)
+    re-integrates the COMMITTED element state once per step in float64:
+    after the equilibrium loop settles, the final response is recomputed
+    from the entering (sig, epl) and the converged displacement increment
+    with float64 kernels, and the committed stress/plastic-strain fields
+    are its (storage-rounded) result.  ``n_refine`` fixes the LINEAR
+    solve's f32 error; this knob extends the accuracy story through the
+    NONLINEAR return map — the committed field then deviates from a full
+    f64 run only by the f32 tangent/iteration path (branch decisions),
+    not by f32 response arithmetic.  Tangents stay f32 (they only
+    precondition).  One extra f64 response pass per step — the accuracy
+    profile's knob, off in the production configuration.
 
     ``kes0`` optionally passes the PREVIOUS step's multigrid hierarchy
     (``diag['kes']``) with ``dst0`` the device scalar ``diag['dstiff']``
@@ -1189,6 +1208,19 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                     f'(normalized yield excess {fmax:.3g} > tolerance '
                     f'{yf_tolerance:.1e}); reduce the load increment or '
                     f'increase nsub', stacklevel=2)
+    if commit_f64 and state.sig.dtype == jnp.float32:
+        # float64 commit recomputation (see docstring): re-integrate the
+        # final response from the entering state with f64 kernels; the
+        # equilibrium iteration path (tangents, du) stays f32
+        f64 = jnp.float64
+        mat64 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f64), mat)
+        deps64 = element_deps(md, du.astype(f64))
+        fy64, sig64, depl64, _ = respond_grouped(
+            md, mat64, CV, state.sig.astype(f64), state.epl.astype(f64),
+            deps64, fast=fast, maxiter=12, nsub=nsub)
+        fy = fy64.astype(state.sig.dtype)
+        sig_n = sig64.astype(state.sig.dtype)
+        depl_n = depl64.astype(state.sig.dtype)
     new = SolverState(u=state.u + du, sig=sig_n, epl=state.epl + depl_n,
                       eps=state.eps + deps, elstiff=elstiff)
     diag = {'fy_max': fy.max(), 'dstiff': dst, 'cg_res': cg_res,

@@ -478,7 +478,9 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
         r = tuple(jnp.where(f, 0., ri - alpha * ai)
                   for f, ri, ai in zip(fix, r, Ap))
         rn = fek._norm(r)
-        nstall = jnp.where(rn < 0.995 * best, 0, nstall + 1)
+        # < 5% improvement for 4 consecutive iterations = floor regime
+        # (see fe_kernels.cg_solve)
+        nstall = jnp.where(rn < 0.95 * best, 0, nstall + 1)
         return x, r, p, rz, it + 1, jnp.minimum(best, rn), nstall
 
     x, r, p, rz, it, _, _ = jax.lax.while_loop(

@@ -99,7 +99,7 @@ def test_notebooks_execute(tmp_path, monkeypatch):
     for name in names:
         nb = json.load(open(os.path.join(nbdir, name)))
         assert nb['nbformat'] == 4 and len(nb['cells']) > 2
-        if name.startswith(('06_', '07_')):   # fast, fully executable subset
+        if name.startswith(('01_', '06_', '07_')):  # fast, fully executable subset
             ns = {}
             for cell in nb['cells']:
                 if cell['cell_type'] == 'code':
