@@ -237,9 +237,14 @@ def scale_fields(dtype, CV):
     from pylabfea_tpu.ops import fe_kernels as fek
 
     fields = {}
-    # --- 2048^2 single material -----------------------------------------
-    dm, _ = flagship(dtype)
-    md = fek.rect_mesh(2048, 2048, LX=1., LY=1., uniax='y', eps_tot=0.002,
+    # --- 2048^2 single material (trained SVC, like the 1024^2 row) ------
+    tr = trained_flagship(dtype)
+    if tr is not None:
+        dm, CV, eps2k = tr[0], tr[1], tr[2]
+    else:
+        dm, _ = flagship(dtype)
+        eps2k = 0.002
+    md = fek.rect_mesh(2048, 2048, LX=1., LY=1., uniax='y', eps_tot=eps2k,
                        dtype=dtype)
     st = fek.init_state(md, CV, dtype=dtype)
     st, d = fek.load_step_split(md, st, dm, CV, 0.25, n_inner=2)

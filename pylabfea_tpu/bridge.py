@@ -134,6 +134,76 @@ def to_device(model, dtype=jnp.float32, compress=None):
     return md, dm, CV
 
 
+def to_device_1d(model, dtype=jnp.float32, compress=None):
+    """Convert a meshed 1-D host bar model (linear OR quadratic elements,
+    per-section element lengths — reference model.py:262-363) to
+    ``(MeshData, mat(s), CV(s))`` for the flat-layout device solver.
+
+    1-D elements carry PER-ELEMENT B tables / Jacobians (section lengths
+    differ), stored as ``B (Nel, ngp, 6, n)`` / ``jacw (Nel,)`` — the flat
+    kernels (`element_stiffness`, `element_deps`, CG) branch on the array
+    rank.  DOF numbering equals host node numbering (dim=1)."""
+    if model.dim != 1:
+        raise ValueError('to_device_1d expects a 1-D model')
+    if model.Nnode is None:
+        raise ValueError('mesh the model before converting')
+    els = model.element
+    Nel = len(els)
+    dofs = np.array([el.nodes for el in els], dtype=np.int32)
+    B = np.stack([np.stack(el.Bmat) for el in els])
+    jacw = np.array([el.Jac * el.wght for el in els], dtype=float)
+    Bsum = np.array([el.wght * sum(el.Bmat) for el in els], dtype=float)
+    ndof = model.Ndof
+    fixed = np.zeros(ndof, dtype=bool)
+    fval = np.zeros(ndof)
+    force = np.zeros(ndof)
+    if model.ubcleft[0]:
+        fixed[model.noleft] = True
+        fval[model.noleft] = model.bcl[0]
+    if model.ubcright[0]:
+        fixed[model.noright] = True
+        fval[model.noright] = model.bcr[0]
+    else:
+        force[model.noright] = model.bcr[0]
+    mats, ids = _material_groups(model)
+    multi = len(mats) > 1
+    if multi:
+        nmat = len(mats)
+        perm = np.argsort(ids, kind='stable').astype(np.int32)
+        inv_perm = np.argsort(perm).astype(np.int32)
+        counts = np.bincount(ids, minlength=nmat)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        groups = tuple((int(s), int(c)) for s, c in zip(starts, counts))
+    else:
+        perm = np.zeros(0, dtype=np.int32)
+        inv_perm = np.zeros(0, dtype=np.int32)
+        groups = None
+    md = fek.MeshData(
+        dofs=jnp.asarray(dofs),
+        B=jnp.asarray(B, dtype=dtype),
+        Bsum=jnp.asarray(Bsum, dtype=dtype),
+        jacw=jnp.asarray(jacw, dtype=dtype),
+        vel=jnp.asarray(np.array([el.Vel for el in els]), dtype=dtype),
+        fixed=jnp.asarray(fixed),
+        fixed_val=jnp.asarray(fval, dtype=dtype),
+        force=jnp.asarray(force, dtype=dtype),
+        perm=jnp.asarray(perm), inv_perm=jnp.asarray(inv_perm),
+        ps_b2=jnp.zeros(0, dtype=dtype),
+        ndof=ndof, nel=Nel, grid=None, groups=groups)
+    if multi:
+        first = {}
+        for i, el in enumerate(els):
+            first.setdefault(ids[i], np.asarray(el.CV, float))
+        dms = tuple(con.device_material_from(m, dtype=dtype,
+                                             compress=compress)
+                    for m in mats)
+        CVs = tuple(first[k] for k in range(len(mats)))
+        return md, dms, CVs
+    dm = con.device_material_from(els[0].Mat, dtype=dtype,
+                                  compress=compress)
+    return md, dm, np.asarray(els[0].CV, float)
+
+
 def _bc_planes(model, dbcr, dbct, dbcn, dtype):
     """Device BC planes for ONE load increment: prescribed-displacement
     values (static left/bottom absolutes, incremental right/top/node-set
@@ -265,6 +335,11 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
         if md.grid is not None:
             if not reuse or _kes['kes'] is None:
                 _kes['kes'] = fek._hier_kes_jit(md, elstiff)
+                # warm-start freshness gate (see fe_kernels.
+                # load_step_split): a previous increment on a CHANGED
+                # tangent system poisons f32 CG
+                if dtype != jnp.float64:
+                    x0 = None
             tol = 1.e-11 if dtype == jnp.float64 else 1.e-6
             x0 = jnp.zeros_like(bc_val) if x0 is None else x0
             du, res, it = fek._mg_solve_jit(md, _kes['kes'], bc_val, force,
@@ -448,7 +523,15 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     reduced-set compression with an absolute decision-function error
     bound of 10% of the yield-tolerance band — the production serving
     path; pass None to serve the raw SV set (parity instrument; analytic
-    materials are unaffected either way)."""
+    materials are unaffected either way).
+
+    1-D bar models (linear or quadratic elements) route through
+    ``to_device_1d`` and the flat-layout CG solver; 2-D structured models
+    through ``to_device`` and MG-CG."""
+    if model.dim == 1:
+        return _solve_on_device_1d(model, nsteps=nsteps, n_inner=n_inner,
+                                   dtype=dtype, nsub=nsub, fast=fast,
+                                   cg_tol=cg_tol, compress=compress)
     md, dm, CV = to_device(model, dtype=dtype, compress=compress)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
@@ -480,6 +563,54 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     fe = (md.jacw / 4.) * jnp.einsum('ai,ea->ei', md.Bsum, state.sig)
     f_dev = np.asarray(fek.scatter_element(md, fe), dtype=float)
     model.f = f_dev.transpose(1, 2, 0).reshape(-1)
+    sig = np.asarray(state.sig, dtype=float)
+    eps = np.asarray(state.eps, dtype=float)
+    epl = np.asarray(state.epl, dtype=float)
+    for i, el in enumerate(model.element):
+        el.sig = sig[i]
+        el.eps = eps[i]
+        el.epl = epl[i]
+    model.sgl = np.array(sgl)
+    model.egl = np.array(egl)
+    model.epgl = np.array(epgl)
+    model.calc_global()
+    return model
+
+
+def _solve_on_device_1d(model, nsteps=20, n_inner=2,
+                        dtype=jnp.float32, nsub=4, fast=True, cg_tol=None,
+                        compress='auto'):
+    """1-D bar models on the device solver (see ``solve_on_device``).
+
+    Uses the flat-layout kernels with per-element B tables (section
+    lengths differ); global history is VOLUME-weighted on the host (the
+    device diag's plain mean assumes uniform elements)."""
+    import jax.numpy as _jnp
+
+    md, dm, CV = to_device_1d(model, dtype=dtype, compress=compress)
+    state = fek.init_state(md, CV, dtype=dtype)
+    vels = np.asarray(md.vel, float)
+    wv = vels / vels.sum()
+    sgl = [np.zeros(6)]
+    egl = [np.zeros(6)]
+    epgl = [np.zeros(6)]
+    du0 = None
+    for _ in range(nsteps):
+        state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
+                                          n_inner=n_inner, nsub=nsub,
+                                          fast=fast, du0=du0,
+                                          cg_tol=cg_tol)
+        du0 = diag['du']
+        sgl.append(np.asarray(state.sig, float).T @ wv)
+        egl.append(np.asarray(state.eps, float).T @ wv)
+        epgl.append(np.asarray(state.epl, float).T @ wv)
+    model.u = np.asarray(state.u, dtype=float)
+    # nodal forces from the FULL (unmasked) K @ u — reaction forces on the
+    # fixed dofs included, like the host solver's f accumulation
+    Ke = fek.element_stiffness(md, state.elstiff)
+    ue = fek.gather_element(md, _jnp.asarray(model.u, dtype=dtype))
+    fe = _jnp.einsum('eij,ej->ei', Ke, ue, preferred_element_type=Ke.dtype)
+    model.f = np.asarray(fek.scatter_element(md, fe), dtype=float)
     sig = np.asarray(state.sig, dtype=float)
     eps = np.asarray(state.eps, dtype=float)
     epl = np.asarray(state.epl, dtype=float)

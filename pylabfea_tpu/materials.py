@@ -99,18 +99,36 @@ class Material(object):
         self.propJ2 = empty(('ys', 'seq', 'eeq', 'peeq'))
         self.sigeps = empty(('sig', 'eps', 'epl'))
 
-    def GridSearchCVTexture(self, x, param_grid, n_splits, verbose=True):
-        """Texture-stratified grid-search CV (API parity with the reference
-        stub, material.py:2370); the working implementation is the K-fold
-        texture recursion inside ``train_SVC(gridsearch=True)``."""
+    def GridSearchCVTexture(self, x, param_grid, n_splits, verbose=True,
+                            Nseq=25, Fe=0.1, Ce=0.99, metric='acc',
+                            pca_dim=10):
+        """Texture-stratified grid-search CV (the reference declares this
+        API but leaves the body incomplete, material.py:2370): K-fold the
+        dataset ACROSS TEXTURES — if texture A is in a training fold, none
+        of its stress data may appear in the validation fold — so the score
+        measures generalization to unseen textures.
+
+        Implemented on the working K-fold texture recursion
+        (``_train_svc_texture_gridsearch``): for every (C, gamma) in
+        ``param_grid``, ``n_splits``-fold over the microstructures in
+        ``self.msparam``, retrain on the training textures, score on the
+        held-out ones, then fit the final SVC with the best pair.  ``x`` is
+        accepted for reference-API compatibility but ignored: the training
+        set is regenerated per fold from ``msparam`` (required — a
+        pre-assembled feature array cannot be re-split by texture once the
+        per-texture scaling has been folded in).  Returns
+        (train_score, test_score) of the final fit."""
+        if x is not None and verbose:
+            print('GridSearchCVTexture: regenerating training data per '
+                  'fold from msparam (the pre-assembled x is ignored)')
+        cvals = list(param_grid.get('C', [10]))
+        gvals = list(param_grid.get('gamma', [1]))
         return self._train_svc_texture_gridsearch(
-            C=list(param_grid.get('C', [10]))[0],
-            gamma=list(param_grid.get('gamma', [1]))[0],
-            Nlc=36, Nseq=25, extend=False, mat_ref=None, sdata=None,
-            plot=False, fontsize=16, Fe=0.1, Ce=0.99, scaler=None, pca=None,
-            verbose=verbose, metric='acc', pca_dim=10,
-            cvals=list(param_grid.get('C', [10])),
-            gvals=list(param_grid.get('gamma', [1])))
+            C=cvals[0], gamma=gvals[0],
+            Nlc=36, Nseq=Nseq, extend=False, mat_ref=None, sdata=None,
+            plot=False, fontsize=16, Fe=Fe, Ce=Ce, scaler=None, pca=None,
+            verbose=verbose, metric=metric, pca_dim=pca_dim,
+            cvals=cvals, gvals=gvals, n_splits=n_splits)
 
     # =================================================================
     # elastic and plastic material definitions
@@ -1279,7 +1297,7 @@ class Material(object):
     def _train_svc_texture_gridsearch(self, C, gamma, Nlc, Nseq, extend,
                                       mat_ref, sdata, plot, fontsize, Fe, Ce,
                                       scaler, pca, verbose, metric, pca_dim,
-                                      cvals, gvals):
+                                      cvals, gvals, n_splits=5):
         """K-fold cross validation over textures: full textures are held out
         per fold so the score measures generalization to unseen textures."""
         import random as pyrandom
@@ -1301,7 +1319,7 @@ class Material(object):
             if verbose:
                 print(f"HP Run {idx_pair} / {len(list(hp_grid))}: {hp}")
             pyrandom.seed(42)
-            kf = KFold(n_splits=5, shuffle=True, random_state=42)
+            kf = KFold(n_splits=n_splits, shuffle=True, random_state=42)
             test_scores = []
             for train_index, test_index in kf.split(self.msparam):
                 _, ts = self.train_SVC(C=hp['C'], gamma=hp['gamma'], Nlc=Nlc,

@@ -46,7 +46,7 @@ class MeshData(NamedTuple):
     B: jnp.ndarray           # (ngp, 6, 8) shared B matrices (uniform elements)
     Bsum: jnp.ndarray        # (6, 8) wght * sum_g B (element-average strain)
     jacw: jnp.ndarray        # scalar Jac * wght (uniform elements)
-    vel: jnp.ndarray         # scalar element volume
+    vel: jnp.ndarray         # element volume (scalar; (Nel,) on 1-D bar meshes)
     fixed: jnp.ndarray       # (2, nnX, nnY) | (Ndof,) bool displacement-BC mask
     fixed_val: jnp.ndarray   # prescribed displacement values (per unit load)
     force: jnp.ndarray       # external force pattern (per unit load)
@@ -402,7 +402,17 @@ def scatter_element(md: MeshData, fe):
 
 
 def element_stiffness(md: MeshData, elstiff):
-    """Ke[e] = jacw * sum_g B_g^T C_e B_g  — batched (Nel, 8, 8)."""
+    """Ke[e] = jacw * sum_g B_g^T C_e B_g  — batched (Nel, n, n).
+
+    ``md.B`` may be SHARED (ngp, 6, n) with scalar jacw — the uniform
+    structured-quad path — or PER-ELEMENT (Nel, ngp, 6, n) with (Nel,)
+    jacw: the 1-D bar path, whose element lengths differ per section
+    (host femodel._mesh_structured)."""
+    if md.B.ndim == 4:
+        Ke = jnp.einsum('egai,eab,egbj->eij', md.B, elstiff, md.B,
+                        preferred_element_type=elstiff.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        return md.jacw[:, None, None] * Ke
     return md.jacw * jnp.einsum('gai,eab,gbj->eij', md.B, elstiff, md.B,
                                 preferred_element_type=elstiff.dtype,
                                 precision=jax.lax.Precision.HIGHEST)
@@ -555,6 +565,7 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
     rz = _dot(r, z)
     bnorm = jnp.maximum(_norm(b), 1e-30)
     rn0 = _norm(r)
+    b_f32 = jax.tree_util.tree_leaves(b)[0].dtype == jnp.float32
 
     def cond(s):
         x, r, p, rz, it, best, nstall = s
@@ -570,12 +581,20 @@ def cg_solve(apply_fn, b, x0, diag, tol=1.e-8, maxiter=2000):
         rz_new = _dot(r, z)
         p = _axpy(rz_new / rz, p, z)
         rn = _norm(r)
-        # healthy MG/Jacobi-CG contracts the residual >= 2x per iteration;
-        # four consecutive iterations improving by < 5% means the solve is
-        # grinding at the f32 floor (measured at 2048^2: the same system a
-        # cold solve finishes in 8 iterations ground 78 at 0.5%/iteration
-        # after a warm start from a near-singular mid-step tangent)
-        nstall = jnp.where(rn < 0.95 * best, 0, nstall + 1)
+        # stall counting: four consecutive iterations improving by < 5%
+        # means the solve is grinding at the f32 floor (measured at
+        # 2048^2: the same system a cold solve finishes in 8 iterations
+        # ground 78 at 0.5%/iteration after a warm start on a changed
+        # tangent).  Guards: f32 only (f64 reaches its tolerance), and
+        # only once the residual is already BELOW 1e-3 relative —
+        # legitimate CG plateaus (clustered eigenvalues being resolved)
+        # occur mid-solve and must not trigger the exit (observed: a
+        # 21-dof f64 quadratic-bar solve plateaued > 4 iterations at 6e-2
+        # relative, then converged)
+        if b_f32:
+            near_floor = rn < 1e-3 * bnorm
+            nstall = jnp.where(rn < 0.95 * best, 0,
+                               jnp.where(near_floor, nstall + 1, nstall))
         return x, r, p, rz_new, it + 1, jnp.minimum(best, rn), nstall
 
     x, r, p, rz, it, _, _ = jax.lax.while_loop(
@@ -596,6 +615,9 @@ def element_deps(md: MeshData, du):
             planes[2] = sum(md.ps_b2[i] * up[i] for i in range(8))
         return jnp.stack(planes, -1).reshape(md.nel, 6)
     ue = gather_element(md, du)
+    if md.Bsum.ndim == 3:       # per-element B (1-D bars)
+        return jnp.einsum('eai,ei->ea', md.Bsum, ue,
+                          preferred_element_type=du.dtype)
     deps = jnp.einsum('ai,ei->ea', md.Bsum, ue,
                       preferred_element_type=du.dtype)
     if md.ps_b2.ndim == 3:
@@ -1162,7 +1184,20 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                 kes = _hier_kes_cond_jit(md, elstiff, kes, dst)
             tol = cg_tol if cg_tol is not None else (
                 1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)
-            x0 = jnp.zeros_like(bc_val) if du is None else du
+            if du is None:
+                x0 = jnp.zeros_like(bc_val)
+            elif dst is None:
+                x0 = du
+            else:
+                # warm-start FRESHNESS gate (device scalar, no sync —
+                # same condition as the hierarchy rebuild): when the
+                # tangent update replaced element stiffnesses, the
+                # previous increment poisons f32 CG — measured at 2048^2,
+                # warm start on a changed system ground 36 iterations
+                # stuck at 8.6e-5 relative while a zero start converged
+                # to 8.8e-7 in 7; on an UNCHANGED system the warm start
+                # is the 2-4-iteration fast path, so keep it there
+                x0 = du * (dst <= 1.e-3)
             du, cg_res, cg_it = _mg_solve_jit(md, kes, bc_val, force,
                                               float(tol), int(cg_maxiter),
                                               x0)

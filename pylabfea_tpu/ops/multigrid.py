@@ -451,6 +451,7 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
     bnorm = jnp.maximum(fek._norm(b), 1e-30)
     p0 = tuple(jnp.zeros_like(ri) for ri in r0)
     rn0 = fek._norm(r0)
+    b_f32 = r0[0].dtype == jnp.float32
 
     # stall exit: float32 CG bottoms out at a rounding floor
     # ~ kappa(M^-1 K) * eps32 relative; when `tol` sits below that floor
@@ -478,9 +479,13 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
         r = tuple(jnp.where(f, 0., ri - alpha * ai)
                   for f, ri, ai in zip(fix, r, Ap))
         rn = fek._norm(r)
-        # < 5% improvement for 4 consecutive iterations = floor regime
-        # (see fe_kernels.cg_solve)
-        nstall = jnp.where(rn < 0.95 * best, 0, nstall + 1)
+        # < 5% improvement for 4 consecutive iterations = floor regime;
+        # f32-only and counted only below 1e-3 relative (mid-solve CG
+        # plateaus are legitimate — see fe_kernels.cg_solve)
+        if b_f32:
+            near_floor = rn < 1e-3 * bnorm
+            nstall = jnp.where(rn < 0.95 * best, 0,
+                               jnp.where(near_floor, nstall + 1, nstall))
         return x, r, p, rz, it + 1, jnp.minimum(best, rn), nstall
 
     x, r, p, rz, it, _, _ = jax.lax.while_loop(

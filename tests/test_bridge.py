@@ -174,3 +174,67 @@ def test_bridge_voce_hardening_matches_host():
     fe2.mesh(NX=8, NY=8)
     bridge.solve_on_device(fe2, nsteps=20, n_inner=4, dtype=jnp.float64)
     assert fe_dev.glob['sig'][1] < 0.9 * fe2.glob['sig'][1]
+
+
+def test_1d_bar_device_vs_host():
+    """The reference's 1-D composite bar introduction (three sections,
+    linear AND quadratic elements — reference model.py:262-363) on the
+    DEVICE path: per-element B tables / Jacobians in the flat-layout
+    kernels (section lengths differ).  Device displacements, forces and
+    element states must match the host solver."""
+    import jax.numpy as jnp
+    from pylabfea_tpu import bridge
+
+    mat1 = FE.Material(num=1)
+    mat1.elasticity(E=100.e3, nu=0.35)
+    mat2 = FE.Material(num=2)
+    mat2.elasticity(E=300.e3, nu=0.3)
+
+    for SF in (1, 2):
+        def build():
+            fe = FE.Model(dim=1)
+            fe.geom([2., 1., 2.])
+            fe.assign([mat1, mat2, mat1])
+            fe.bcleft(0.)
+            fe.bcright(0.01 * fe.lenx, 'disp')
+            fe.mesh(NX=10, SF=SF)
+            return fe
+
+        fe_h = build()
+        fe_h.solve()
+        fe_h.calc_global()
+        fe_d = build()
+        bridge.solve_on_device(fe_d, nsteps=1, n_inner=1,
+                               dtype=jnp.float64, cg_tol=1e-13)
+        np.testing.assert_allclose(fe_d.u, fe_h.u, rtol=1e-9, atol=1e-12,
+                                   err_msg=f'SF={SF}')
+        np.testing.assert_allclose(fe_d.glob['sig'], fe_h.glob['sig'],
+                                   rtol=1e-9, atol=1e-8)
+        sig_h = np.array([el.sig[0] for el in fe_h.element])
+        sig_d = np.array([el.sig[0] for el in fe_d.element])
+        np.testing.assert_allclose(sig_d, sig_h, rtol=1e-9)
+
+    # elastic-plastic bar: J2 section between elastic sections
+    mp = FE.Material(num=3)
+    mp.elasticity(E=200.e3, nu=0.3)
+    mp.plasticity(sy=150., khard=500., sdim=6)
+
+    def build_pl():
+        fe = FE.Model(dim=1)
+        fe.geom([2., 2.])
+        fe.assign([mat1, mp])
+        fe.bcleft(0.)
+        fe.bcright(0.01 * fe.lenx, 'disp')
+        fe.mesh(NX=8)
+        return fe
+
+    fe_h = build_pl()
+    fe_h.solve()
+    fe_h.calc_global()
+    fe_d = build_pl()
+    bridge.solve_on_device(fe_d, nsteps=20, n_inner=4, dtype=jnp.float64,
+                           cg_tol=1e-13)
+    assert fe_h.glob['epl'][0] > 1e-4      # plastic flow actually happened
+    rel = abs(fe_d.glob['sig'][0] - fe_h.glob['sig'][0]) \
+        / abs(fe_h.glob['sig'][0])
+    assert rel < 5e-3, f'1-D plastic bar device/host mismatch {rel:.2e}'
