@@ -1186,10 +1186,14 @@ def load_step_split(md: MeshData, state: SolverState, mat, CV, load_frac,
                 1.e-11 if elstiff.dtype == jnp.float64 else 1.e-6)
             if du is None:
                 x0 = jnp.zeros_like(bc_val)
-            elif dst is None:
+            elif dst is None or elstiff.dtype == jnp.float64:
+                # f64 keeps the warm start unconditionally: there is no
+                # rounding floor to poison, and on hard (near-singular
+                # secant) tangents the recycled Krylov subspace is what
+                # keeps developed-plastic iteration counts flat
                 x0 = du
             else:
-                # warm-start FRESHNESS gate (device scalar, no sync —
+                # f32 warm-start FRESHNESS gate (device scalar, no sync —
                 # same condition as the hierarchy rebuild): when the
                 # tangent update replaced element stiffnesses, the
                 # previous increment poisons f32 CG — measured at 2048^2,

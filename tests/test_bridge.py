@@ -60,12 +60,14 @@ def test_bridge_multimaterial_and_rejections():
     md, dms, CVs = bridge.to_device(fe)
     assert len(md.groups) == 2 and len(dms) == 2
     assert sum(s for _, s in md.groups) == fe.Nel
-    # unmeshed and multi-material plane-stress models are rejected
+    # unmeshed models are rejected
     fe2 = FE.Model(dim=2, planestress=False)
     fe2.geom([2.], LY=2.)
     fe2.assign([mat1])
     with pytest.raises(ValueError, match='mesh'):
         bridge.to_device(fe2)
+    # multi-material plane stress is SUPPORTED since round 4: the
+    # per-material eps_33 condensation rows land in the mesh's ps_b2 planes
     fe3 = FE.Model(dim=2, planestress=True)
     fe3.geom([2., 2.], LY=2.)
     fe3.assign([mat1, mat2])
@@ -74,8 +76,9 @@ def test_bridge_multimaterial_and_rejections():
     fe3.bcright(0., 'force')
     fe3.bctop(0.01 * fe3.leny, 'disp')
     fe3.mesh(NX=4, NY=4)
-    with pytest.raises(NotImplementedError, match='plane stress'):
-        bridge.to_device(fe3)
+    md3, dms3, CVs3 = bridge.to_device(fe3)
+    assert md3.ps_b2.ndim == 3 and md3.ps_b2.shape == (8, 4, 4)
+    assert len(md3.groups) == 2
 
 
 def test_bridge_plane_stress():
