@@ -79,6 +79,8 @@ if _cache_dir:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("PYLABFEA_TPU_CACHE_MIN_S", "30.0")))
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -13,6 +13,18 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Machine-local persistent XLA cache for the suite: the heavy tests are
+# compile-dominated (f64 shard_map CG, custom_root AD), and the suite's
+# subprocess tests (multichip gate, multihost workers) recompile programs
+# the disk cache can serve.  Same-machine reuse only — the cross-machine
+# CPU-feature concern that keeps the cache opt-in in config.py does not
+# apply.  PYLABFEA_TPU_CACHE is inherited by every subprocess helper (the
+# multihost worker strips only JAX_/XLA_/... prefixed variables).
+os.environ.setdefault(
+    "PYLABFEA_TPU_CACHE",
+    os.path.expanduser("~/.cache/pylabfea_tpu_test_xla"))
+os.environ.setdefault("PYLABFEA_TPU_CACHE_MIN_S", "4")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
