@@ -884,9 +884,9 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
 @jax.jit
 def _hier_kes_jit(md: MeshData, elstiff):
     from pylabfea_tpu.ops import multigrid as mg
-    # attach_inv=False: this program only keeps the stiffness planes, so
-    # don't trace the dense bottom factorization it would discard (the
-    # solve program rebuilds it in levels_from_kes)
+    # attach_inv=False: hierarchy_kes itself factorizes the dense bottom
+    # solve (once per tangent rebuild) and appends it to the kes tuple —
+    # building it on the levels too would trace it twice
     return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff,
                                                attach_inv=False))
 

@@ -318,19 +318,42 @@ def hierarchy_kes(levels):
     Galerkin einsum output may get a non-default layout — XLA then
     inserts a full-size relayout copy of the fine-level planes before
     EVERY stencil call inside the CG while-loop (measured +37 ms per
-    preconditioned iteration at 1024^2)."""
-    return tuple(l.Ke for l in levels)
+    preconditioned iteration at 1024^2).
+
+    When the coarsest level qualifies for the exact dense bottom solve,
+    its factorization (a 2-D matrix, unambiguous next to the 4-D plane
+    arrays) rides as a trailing tuple element: the eigendecomposition
+    behind it costs ~30 ms PER SOLVE on TPU if recomputed inside the
+    solve program, but is a pure function of the bottom-level planes —
+    so it belongs with the hierarchy, rebuilt only when the tangent
+    field changes (measured: 1024^2 solve fixed cost 38.5 -> ~8 ms)."""
+    kes = tuple(l.Ke for l in levels)
+    bot = levels[-1]
+    nnX, nnY = bot.md.grid[0] + 1, bot.md.grid[1] + 1
+    if 2 * nnX * nnY <= COARSE_DENSE_MAX:
+        inv = bot.kc_inv if bot.kc_inv is not None \
+            else _dense_coarse_inv(bot)
+        return kes + (inv,)
+    return kes
 
 
 def levels_from_kes(md: fek.MeshData, kes):
     """Rebuild the level list from per-level stiffness planes (masks and
-    Jacobi diagonals are cheap and recomputed in-trace)."""
+    Jacobi diagonals are cheap and recomputed in-trace).  A trailing 2-D
+    element is the precomputed dense bottom inverse (see
+    ``hierarchy_kes``); legacy plane-only tuples factorize it here."""
+    kc_inv = None
+    if len(kes) > 1 and kes[-1].ndim == 2:
+        kc_inv, kes = kes[-1], kes[:-1]
     levels = []
     cur_md = md
     for i, Ke in enumerate(kes):
         levels.append(_make_level(cur_md, Ke))
         if i + 1 < len(kes):
             cur_md = coarsen_mesh(cur_md)
+    if kc_inv is not None:
+        levels[-1].kc_inv = kc_inv
+        return levels
     return _attach_coarse_inv(levels)
 
 
@@ -360,10 +383,16 @@ def _make_level(cur_md, Ke):
     return MGLevel(cur_md, Ke, diag, fixT, lmax)
 
 
-def _smooth(level: MGLevel, x, b, nu, omega=0.7):
+def _smooth(level: MGLevel, x, b, nu, omega=0.7, zero_start=False):
     """nu smoothing sweeps on K x = b (plane tuples): damped Jacobi, or a
     degree-nu Chebyshev polynomial in D^-1 K targeting [lmax/4, lmax]
-    (stronger on rough tangent fields; SMOOTHER module switch)."""
+    (stronger on rough tangent fields; SMOOTHER module switch).
+
+    ``zero_start=True`` asserts ``x == 0`` so the first sweep's stiffness
+    apply (``K @ 0``) is elided: the sweep collapses to the exact
+    ``x = omega * D^-1 b`` (Jacobi) / ``r = b`` (Chebyshev) — one full
+    element-stiffness-plane stream saved per V-cycle level, bitwise
+    identical to sweeping from the zero vector."""
     if SMOOTHER == 'chebyshev' and level.lmax is not None:
         minv = tuple(1. / d for d in level.diag)
         lmax = 1.1 * level.lmax
@@ -371,8 +400,11 @@ def _smooth(level: MGLevel, x, b, nu, omega=0.7):
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
-        Kx = fek.k_apply_t(level.md, level.Ke, x, level.fixed)
-        r = tuple(bi - ki for bi, ki in zip(b, Kx))
+        if zero_start:
+            r = b
+        else:
+            Kx = fek.k_apply_t(level.md, level.Ke, x, level.fixed)
+            r = tuple(bi - ki for bi, ki in zip(b, Kx))
         d = tuple(m * ri / theta for m, ri in zip(minv, r))
         rho = 1. / sigma
         for _ in range(max(nu, 1)):
@@ -395,6 +427,13 @@ def _smooth(level: MGLevel, x, b, nu, omega=0.7):
         return tuple(xi + m * (bi - ki)
                      for xi, m, bi, ki in zip(x, minv, b, Kx))
 
+    if zero_start:
+        # first sweep from x = 0: K @ 0 = 0, so x_1 = omega * D^-1 b
+        # (fixed rows get b there, matching the K @ 0 identity-row path:
+        # k_apply_t returns x on fixed dofs, i.e. 0, and b is pre-masked
+        # to 0 on fixed rows by the v_cycle caller, so both forms are 0)
+        x = tuple(m * bi for m, bi in zip(minv, b))
+        nu = nu - 1
     return jax.lax.fori_loop(0, nu, body, x)
 
 
@@ -414,8 +453,8 @@ def v_cycle(levels, b, lvl=0, nu=2):
             x = level.kc_inv @ bflat
             m = nnX * nnY
             return (x[:m].reshape(nnX, nnY), x[m:].reshape(nnX, nnY))
-        return _smooth(level, zero, b, 8 * nu)
-    x = _smooth(level, zero, b, nu)
+        return _smooth(level, zero, b, 8 * nu, zero_start=True)
+    x = _smooth(level, zero, b, nu, zero_start=True)
     Kx = fek.k_apply_t(level.md, level.Ke, x, fix)
     r = tuple(jnp.where(f, 0., bi - ki) for f, bi, ki in zip(fix, b, Kx))
     NX, NY = _grid_of(level.md)
@@ -463,12 +502,14 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
     # floor, which is the best any further f32 Krylov work can deliver
     # (refine_du is the knob that pushes past it).
     def cond(s):
-        x, r, p, rz, it, best, nstall = s
-        return ((fek._norm(r) > tol * bnorm) & (it < maxiter)
-                & (nstall < 4))
+        # `rn` is the residual norm the body already computed — carrying
+        # it saves one full-plane reduction per iteration vs recomputing
+        # _norm(r) here
+        x, r, p, rz, it, best, nstall, rn = s
+        return (rn > tol * bnorm) & (it < maxiter) & (nstall < 4)
 
     def body(s):
-        x, r, p, rz_prev, it, best, nstall = s
+        x, r, p, rz_prev, it, best, nstall, _ = s
         z = v_cycle(levels, r, nu=nu)
         rz = fek._dot(r, z)
         beta = jnp.where(it == 0, 0., rz / rz_prev)
@@ -486,8 +527,9 @@ def mg_cg_solve(levels, b, x0, tol=1.e-8, maxiter=200, nu=2):
             near_floor = rn < 1e-3 * bnorm
             nstall = jnp.where(rn < 0.95 * best, 0,
                                jnp.where(near_floor, nstall + 1, nstall))
-        return x, r, p, rz, it + 1, jnp.minimum(best, rn), nstall
+        return x, r, p, rz, it + 1, jnp.minimum(best, rn), nstall, rn
 
-    x, r, p, rz, it, _, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0, rn0, 0))
-    return x, fek._norm(r) / bnorm, it
+    x, r, p, rz, it, _, _, rn = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0, rn0, 0, rn0))
+    return x, rn / bnorm, it
