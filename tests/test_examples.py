@@ -131,3 +131,15 @@ def test_calibrate_plasticity_example(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import calibrate_plasticity
     calibrate_plasticity.main()  # raises on identification failure
+
+
+def test_box3d_inclusion_example(tmp_path, monkeypatch):
+    """3-D hex8 inclusion workload (beyond-reference capability): the
+    example itself asserts inclusion-elasticity and composite
+    strengthening; small mesh + few steps here for CI cost."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+    import box3d_inclusion
+    state, hist = box3d_inclusion.main(N=8, nsteps=4, plot=False,
+                                       dtype=jnp.float64)
+    assert np.isfinite(np.asarray(state.sig)).all()
