@@ -296,6 +296,41 @@ def scale_fields(dtype, CV):
     return fields
 
 
+def fe3d_fields(dtype):
+    """3-D hex8 device-solver row (beyond-reference capability,
+    ops/fe3d.py): a 64^3 = 262k-element J2+hardening elastoplastic step,
+    timed warm (du warm start, mid-plasticity tangents).  64^3 keeps the
+    XLA compile ~40 s (128^3 compiles ~3 min and runs 2.3-2.9 s/step —
+    recorded in BENCH_NOTES.md, not re-measured every round)."""
+    import pylabfea_tpu as FE
+    from pylabfea_tpu.ops import constitutive as con
+    from pylabfea_tpu.ops import fe3d
+
+    mat = FE.Material()
+    mat.elasticity(E=200.e3, nu=0.3)
+    mat.plasticity(sy=150., khard=500., sdim=6)
+    dm = con.device_material_from(mat, dtype=dtype)
+    N = 64
+    md = fe3d.box_mesh(N, N, N, uniax='z', eps_tot=0.002, dtype=dtype)
+    st = fe3d.init_state3(md, mat.CV, dtype=dtype)
+    # warm-up step compiles AND carries the mesh into the elastic-plastic
+    # transition; the TIMED step advances the plastic front with changed
+    # tangents (real MG-CG work — a third equal step would warm-start to
+    # 0 iterations once the tangent field saturates, a degenerate row)
+    st, d = fe3d.load_step3(md, st, dm, mat.CV, 0.4, n_inner=2,
+                            du0=jnp.zeros_like(st.u))
+    sync(st.sig)
+    t0 = time.perf_counter()
+    st, d = fe3d.load_step3(md, st, dm, mat.CV, 0.3, n_inner=2,
+                            du0=d['du'])
+    sync(st.sig)
+    dt = time.perf_counter() - t0
+    log(f'FE Newton step 3-D 64^3 (262k hex8 elements, '
+        f'iters/inner {[int(x) for x in d["cg_iters_hist"]]}): '
+        f'{dt * 1e3:.0f} ms -> {N ** 3 / dt:,.0f} element-updates/s')
+    return {'step_s_64cubed_3d': round(dt, 4)}
+
+
 def phase_fields(md, st, d, dm, CV, reps=3):
     """Per-phase breakdown of the production step (the three jitted
     programs of ``load_step_split``), published as JSON fields so perf
@@ -460,6 +495,13 @@ def main():
             fe_fields.update(scale_fields(dtype, CV))
     except Exception as e:
         log(f'scale benchmark skipped: {type(e).__name__}: {e}')
+
+    try:
+        if os.environ.get('PYLABFEA_BENCH_FE', '1') == '1' \
+                and os.environ.get('PYLABFEA_BENCH_3D', '1') == '1':
+            fe_fields.update(fe3d_fields(dtype))
+    except Exception as e:
+        log(f'3-D benchmark skipped: {type(e).__name__}: {e}')
 
     try:
         if os.environ.get('PYLABFEA_BENCH_REF', '1') == '1':
