@@ -230,3 +230,32 @@ def test_ml_svc_material_3d():
     # solution is only near-homogeneous (unlike the exact-J2 cases)
     sig = np.asarray(state.sig)
     assert np.abs(sig - sig.mean(0)).max() < 0.05 * SY
+
+
+def test_multichip_sharded_3d_matches_single():
+    """One sharded 3-D load step over the 8-device virtual mesh == the
+    single-device step (element arrays P('x'), nodal volumes replicated;
+    XLA SPMD inserts the scatter-add AllReduce)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip('needs the multi-device virtual mesh')
+    from pylabfea_tpu.parallel.mesh3d import (make_mesh3, shard_mesh_data3,
+                                              shard_state3)
+    mat = _j2_mat()
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    md = fe3d.box_mesh(8, 8, 8, uniax='z', eps_tot=0.002,
+                       dtype=jnp.float64)
+    st = fe3d.init_state3(md, mat.CV, dtype=jnp.float64)
+    du0 = jnp.zeros_like(st.u)
+    s1, d1 = fe3d.load_step3(md, st, dm, mat.CV, 0.7, n_inner=2, du0=du0)
+    mesh = make_mesh3(8)
+    md_s = shard_mesh_data3(md, mesh)
+    st_s = shard_state3(fe3d.init_state3(md_s, mat.CV, dtype=jnp.float64),
+                        mesh)
+    s8, d8 = fe3d.load_step3(md_s, st_s, dm, mat.CV, 0.7, n_inner=2,
+                             du0=jax.device_put(du0, jax.sharding.NamedSharding(
+                                 mesh, jax.sharding.PartitionSpec())))
+    np.testing.assert_allclose(np.asarray(d8['glob_sig']),
+                               np.asarray(d1['glob_sig']), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
+                               atol=1e-12)
