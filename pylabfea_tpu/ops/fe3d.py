@@ -402,10 +402,33 @@ def _k_apply3_fori(md: MeshData3D, Cp, v):
     return tuple(jacw * a for a in acc)
 
 
+#: tri-state switch for the fused Pallas volume kernel: None = auto
+#: (float32 grids on TPU whose YZ tangent block fits VMEM), True/False
+#: forced (fe_kernels.USE_STENCIL twin)
+USE_STENCIL3 = None
+
+
+def _stencil3_ok(md, Cp):
+    if USE_STENCIL3 is False:
+        return False
+    if Cp.dtype != jnp.float32:
+        return False
+    from pylabfea_tpu.ops import volume_pallas as vp
+    NX, NY, NZ = md.grid[:3]
+    if NX < 32 or not vp.fits3(NY, NZ):
+        return False
+    return True if USE_STENCIL3 else fek._on_tpu()
+
+
 def _k_apply3_raw(md: MeshData3D, Cp, v):
-    """Partial-assembly K @ v (no BC handling); platform-dispatched
-    between the runtime-optimal unrolled form (TPU) and the
-    compile-cheap fori form (CPU — tests, multichip dryrun)."""
+    """Partial-assembly K @ v (no BC handling); dispatched between the
+    fused Pallas volume kernel (TPU f32, single-pass C streaming), the
+    unrolled XLA form (TPU fallback), and the compile-cheap fori form
+    (CPU — tests, multichip dryrun)."""
+    if _stencil3_ok(md, Cp):
+        from pylabfea_tpu.ops import volume_pallas as vp
+        NX, NY, NZ, lx, ly, lz = md.grid[:6]
+        return vp.k_apply3_stencil(Cp, v[0], v[1], v[2], lx, ly, lz)
     if fek._on_tpu():
         return _k_apply3_unrolled(md, Cp, v)
     return _k_apply3_fori(md, Cp, v)

@@ -259,3 +259,28 @@ def test_multichip_sharded_3d_matches_single():
                                np.asarray(d1['glob_sig']), atol=1e-10)
     np.testing.assert_allclose(np.asarray(s8.u), np.asarray(s1.u),
                                atol=1e-12)
+
+
+def test_pallas_volume_kernel_parity():
+    """The fused Pallas 3-D apply (interpret mode) matches the XLA
+    partial-assembly form on random symmetric tangent volumes to f32
+    summation-order tolerance."""
+    from pylabfea_tpu.ops import volume_pallas as vp
+    rng = np.random.default_rng(3)
+    N = 8
+    md = fe3d.box_mesh(N, N, N, LX=1., LY=1.3, LZ=0.7, uniax='z',
+                       eps_tot=0.001, dtype=jnp.float32)
+    C6 = rng.normal(size=(6, 6, N, N, N)).astype(np.float32)
+    C6 = 0.5 * (C6 + C6.transpose(1, 0, 2, 3, 4)) \
+        + 6. * np.eye(6, dtype=np.float32)[:, :, None, None, None]
+    Cp = jnp.asarray(C6.reshape(36, N, N, N))
+    v = tuple(jnp.asarray(rng.normal(size=(N + 1,) * 3), jnp.float32)
+              for _ in range(3))
+    ref = fe3d._k_apply3_fori(md, Cp, v)
+    NX, NY, NZ, lx, ly, lz = md.grid[:6]
+    out = vp.k_apply3_stencil(Cp, v[0], v[1], v[2], lx, ly, lz,
+                              interpret=True)
+    for c in range(3):
+        scale = np.abs(np.asarray(ref[c])).max()
+        np.testing.assert_allclose(np.asarray(out[c]), np.asarray(ref[c]),
+                                   atol=3e-6 * scale)
