@@ -899,3 +899,52 @@ def solve_uniaxial3(md: MeshData3D, mat, CV, nsteps=10, n_inner=2,
         du0 = diag['du']  # equal fractions: previous du ~ next du
         hist.append((diag['glob_sig'], diag['glob_eps'], diag['cg_iters']))
     return state, hist
+
+
+# ---------------------------------------------------------- post-processing
+
+def field_volumes(md: MeshData3D, state: SolverState3):
+    """Element fields reshaped to (NX, NY, NZ) volumes for inspection and
+    plotting: 'seq' (J2 equivalent stress), 'peeq' (equivalent plastic
+    strain), 'sig_i'/'eps_i'/'epl_i' Voigt components — the 3-D analogue
+    of the host Model.plot selectors (reference model.py:1513-1785)."""
+    from pylabfea_tpu.core import tensors as ct
+    NX, NY, NZ = md.grid[:3]
+    sig = np.asarray(state.sig)
+    epl = np.asarray(state.epl)
+    eps = np.asarray(state.eps)
+    shape = (NX, NY, NZ)
+    out = {'seq': ct.sig_eq_j2(sig).reshape(shape),
+           'peeq': ct.eps_eq(epl).reshape(shape)}
+    for k in range(6):
+        out[f'sig_{k}'] = sig[:, k].reshape(shape)
+        out[f'eps_{k}'] = eps[:, k].reshape(shape)
+        out[f'epl_{k}'] = epl[:, k].reshape(shape)
+    return out
+
+
+def plot_midplane(md: MeshData3D, state: SolverState3, sel='seq', axis='y',
+                  index=None, ax=None, show=True):
+    """Mid-plane (or ``index``-plane) slice of an element field through the
+    box, rendered with matplotlib.  ``axis`` in {'x','y','z'} selects the
+    slicing direction."""
+    import matplotlib.pyplot as plt
+    vols = field_volumes(md, state)
+    if sel not in vols:
+        raise ValueError(f'unknown field {sel!r}; one of {sorted(vols)}')
+    v = vols[sel]
+    axn = {'x': 0, 'y': 1, 'z': 2}[axis]
+    if index is None:
+        index = v.shape[axn] // 2
+    sl = np.take(v, index, axis=axn)
+    if ax is None:
+        _, ax = plt.subplots()
+    im = ax.imshow(sl.T, origin='lower', cmap='viridis')
+    plt.colorbar(im, ax=ax, label=sel)
+    rest = [a for a in 'xyz' if a != axis]
+    ax.set_xlabel(rest[0])
+    ax.set_ylabel(rest[1])
+    ax.set_title(f'{sel}, {axis} = plane {index}')
+    if show:
+        plt.show()
+    return ax

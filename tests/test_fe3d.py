@@ -284,3 +284,26 @@ def test_pallas_volume_kernel_parity():
         scale = np.abs(np.asarray(ref[c])).max()
         np.testing.assert_allclose(np.asarray(out[c]), np.asarray(ref[c]),
                                    atol=3e-6 * scale)
+
+
+def test_field_volumes_and_midplane_plot():
+    """Post-processing utilities: field volumes have the mesh shape and
+    reproduce the analytic uniaxial values; the mid-plane plot renders."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    mat = _j2_mat()
+    dm = con.device_material_from(mat, dtype=jnp.float64)
+    md = fe3d.box_mesh(2, 2, 2, uniax='z', eps_tot=0.002,
+                       dtype=jnp.float64)
+    state, _ = fe3d.solve_uniaxial3(md, dm, mat.CV, nsteps=4, n_inner=2)
+    vols = fe3d.field_volumes(md, state)
+    assert vols['seq'].shape == (2, 2, 2)
+    # 4 load steps: the cutting-plane integration error is O(deps^2),
+    # ~5e-4 relative here (the nsteps=8 closed-form test pins 1e-6)
+    expect = (SY + KH * 0.002) * E / (E + KH)
+    np.testing.assert_allclose(vols['seq'], expect, rtol=2e-3)
+    np.testing.assert_allclose(vols['sig_2'], expect, rtol=2e-3)
+    ax = fe3d.plot_midplane(md, state, 'peeq', axis='z', show=False)
+    assert ax is not None
+    plt.close('all')
