@@ -138,6 +138,12 @@ def k_apply3_stencil(Cp, u0, u1, u2, lx, ly, lz, interpret=False, vma=None):
                              ROW_DOFS=ROW_DOFS, COL_ROWS=COL_ROWS,
                              jacw=jacw)
     row = pl.BlockSpec((1, nnY, nnZ), lambda i: (i, 0, 0), **mem)
+    extra = {}
+    if _HAS_PLTPU and not interpret:
+        # at 128^2 YZ planes the kernel's stack temporaries put scoped
+        # VMEM ~0.4 MB over the 16 MB default — raise the cap slightly
+        extra['compiler_params'] = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 2 ** 20)
     with jax.enable_x64(False):
         o0, o1, o2, co = pl.pallas_call(
             kern,
@@ -158,6 +164,7 @@ def k_apply3_stencil(Cp, u0, u1, u2, lx, ly, lz, interpret=False, vma=None):
                                     **mem)),
             scratch_shapes=[scr((3, nnY, nnZ)), scr((nnY, nnZ))],
             interpret=interpret,
+            **extra,
         )(Cp, u0, u1, u2, *uB)
     out0 = jnp.concatenate([o0, co[0:1]], axis=0)
     out1 = jnp.concatenate([o1, co[1:2]], axis=0)
