@@ -160,6 +160,10 @@ def to_device_1d(model, dtype=jnp.float32, compress=None):
     if model.ubcleft[0]:
         fixed[model.noleft] = True
         fval[model.noleft] = model.bcl[0]
+    else:
+        # force BC on the left bar end (symmetric to the right-end branch
+        # below — a left 'force' BC used to be silently dropped)
+        force[model.noleft] = model.bcl[0]
     if model.ubcright[0]:
         fixed[model.noright] = True
         fval[model.noright] = model.bcr[0]
@@ -300,12 +304,15 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
     constitutive parity level (~1e-6) on sdim=6 / coaxial paths.
 
     Writes displacements, element states and the per-increment global
-    history back into the host model like ``Model.solve`` does."""
+    history back into the host model like ``Model.solve`` does.  A model
+    with existing displacements RESUMES: like the host solver
+    (reference model.py:1214-1239, 1446-1447), the BC memory
+    ``bc{r,t,n}_mem`` marks the already-applied load, the device state is
+    rebuilt from the stored element states/tangents, and only the
+    remaining load is stepped, appending to the global history."""
     from pylabfea_tpu.femodel import _halve_increment
     from pylabfea_tpu.core.tensors import yf_tolerance
-    if model.u is not None:
-        raise NotImplementedError('solve_on_device_adaptive: resuming a '
-                                  'partially solved model is host-only')
+    resume = model.u is not None
     md, dm, CV = to_device(model, dtype=dtype)
     if md.groups is None:
         dm, CV = (dm,), (CV,)
@@ -316,8 +323,11 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
     mats, _ = _material_groups(model)
     groups = list(zip(mats, groups_idx))
     nonlin = any(m.sy is not None for m in mats)
-    state = fek.init_state(md, CV if md.groups is not None else CV[0],
-                           dtype=dtype)
+    if resume:
+        state = _state_from_model(model, md, dtype)
+    else:
+        state = fek.init_state(md, CV if md.groups is not None else CV[0],
+                               dtype=dtype)
     NX, NY = md.grid[:2]
 
     def elstiff_rows(planes):
@@ -362,12 +372,23 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
     if np.linalg.norm(sld) < 1.e-3:
         sld[0] = 1.
 
-    bcr0 = np.zeros(2)
-    bct0 = np.zeros(2)
-    bcn0 = np.zeros(2) if model.noset is not None else None
-    sgl = [np.zeros(6)]
-    egl = [np.zeros(6)]
-    epgl = [np.zeros(6)]
+    if resume:
+        # BC memory: load already applied by previous solve() calls; only
+        # the remainder up to the CURRENT bcr/bct/bcn is stepped
+        bcr0 = np.array(model.bcr_mem, dtype=float)
+        bct0 = np.array(model.bct_mem, dtype=float)
+        bcn0 = (np.array(model.bcn_mem, dtype=float)
+                if model.noset is not None else None)
+        sgl = []
+        egl = []
+        epgl = []
+    else:
+        bcr0 = np.zeros(2)
+        bct0 = np.zeros(2)
+        bcn0 = np.zeros(2) if model.noset is not None else None
+        sgl = [np.zeros(6)]
+        egl = [np.zeros(6)]
+        epgl = [np.zeros(6)]
     u_tot = state.u
     il = 0
     niter = []
@@ -475,7 +496,7 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
         egl.append(np.asarray(jnp.mean(state.eps, axis=0), dtype=float))
         epgl.append(np.asarray(jnp.mean(state.epl, axis=0), dtype=float))
 
-    _write_back(model, md, state, sgl, egl, epgl)
+    _write_back(model, md, state, sgl, egl, epgl, append=resume)
     model.bct_mem = bct0
     model.bcr_mem = bcr0
     if model.noset is not None:
@@ -486,9 +507,33 @@ def solve_on_device_adaptive(model, min_step=None, verb=False,
     return model
 
 
-def _write_back(model, md, state, sgl, egl, epgl):
+def _state_from_model(model, md, dtype):
+    """Device ``SolverState`` rebuilt from a previously solved host model
+    (the resume path): displacements back into the (2, NXn, NYn) nodal
+    layout (inverse of ``_write_back``), element states from the stored
+    per-element Voigt vectors, tangents from the stored element
+    stiffnesses (the host keeps the self-consistent plastic tangents
+    across solve() calls, reference model.py:1446-1447)."""
+    sh = md.fixed.shape                                # (2, NXn, NYn)
+    u = jnp.asarray(np.asarray(model.u, dtype=float)
+                    .reshape(sh[1], sh[2], sh[0])
+                    .transpose(2, 0, 1), dtype=dtype)
+    sig = np.array([el.sig for el in model.element], dtype=float)
+    eps = np.array([el.eps for el in model.element], dtype=float)
+    epl = np.array([el.epl for el in model.element], dtype=float)
+    rows = np.array([el.elstiff for el in model.element], dtype=float)
+    elstiff = fek.elstiff_planes(md, jnp.asarray(rows, dtype=dtype))
+    return fek.SolverState(u=u, sig=jnp.asarray(sig, dtype=dtype),
+                           epl=jnp.asarray(epl, dtype=dtype),
+                           eps=jnp.asarray(eps, dtype=dtype),
+                           elstiff=elstiff)
+
+
+def _write_back(model, md, state, sgl, egl, epgl, append=False):
     """Write device results back into the host model (displacements,
-    stress-consistent nodal forces, element states, global history)."""
+    stress-consistent nodal forces, element states, global history).
+    ``append=True`` (resume) extends the existing global history instead
+    of replacing it."""
     model.u = np.asarray(state.u,
                          dtype=float).transpose(1, 2, 0).reshape(-1)
     fe = (md.jacw / 4.) * jnp.einsum('ai,ea->ei', md.Bsum, state.sig)
@@ -501,9 +546,17 @@ def _write_back(model, md, state, sgl, egl, epgl):
         el.sig = sig[i]
         el.eps = eps[i]
         el.epl = epl[i]
-    model.sgl = np.array(sgl)
-    model.egl = np.array(egl)
-    model.epgl = np.array(epgl)
+    if append:
+        model.sgl = np.append(model.sgl, np.array(sgl).reshape(-1, 6),
+                              axis=0)
+        model.egl = np.append(model.egl, np.array(egl).reshape(-1, 6),
+                              axis=0)
+        model.epgl = np.append(model.epgl, np.array(epgl).reshape(-1, 6),
+                               axis=0)
+    else:
+        model.sgl = np.array(sgl)
+        model.egl = np.array(egl)
+        model.epgl = np.array(epgl)
     model.calc_global()
 
 
@@ -531,7 +584,8 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
     if model.dim == 1:
         return _solve_on_device_1d(model, nsteps=nsteps, n_inner=n_inner,
                                    dtype=dtype, nsub=nsub, fast=fast,
-                                   cg_tol=cg_tol, compress=compress)
+                                   cg_tol=cg_tol, n_refine=n_refine,
+                                   compress=compress)
     md, dm, CV = to_device(model, dtype=dtype, compress=compress)
     state = fek.init_state(md, CV, dtype=dtype)
     sgl = [np.zeros(6)]
@@ -579,7 +633,7 @@ def solve_on_device(model, nsteps=20, n_inner=2, dtype=jnp.float32,
 
 def _solve_on_device_1d(model, nsteps=20, n_inner=2,
                         dtype=jnp.float32, nsub=4, fast=True, cg_tol=None,
-                        compress='auto'):
+                        n_refine=0, compress='auto'):
     """1-D bar models on the device solver (see ``solve_on_device``).
 
     Uses the flat-layout kernels with per-element B tables (section
@@ -599,7 +653,7 @@ def _solve_on_device_1d(model, nsteps=20, n_inner=2,
         state, diag = fek.load_step_split(md, state, dm, CV, 1. / nsteps,
                                           n_inner=n_inner, nsub=nsub,
                                           fast=fast, du0=du0,
-                                          cg_tol=cg_tol)
+                                          cg_tol=cg_tol, n_refine=n_refine)
         du0 = diag['du']
         sgl.append(np.asarray(state.sig, float).T @ wv)
         egl.append(np.asarray(state.eps, float).T @ wv)

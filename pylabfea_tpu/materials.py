@@ -118,9 +118,14 @@ class Material(object):
         pre-assembled feature array cannot be re-split by texture once the
         per-texture scaling has been folded in).  Returns
         (train_score, test_score) of the final fit."""
-        if x is not None and verbose:
-            print('GridSearchCVTexture: regenerating training data per '
-                  'fold from msparam (the pre-assembled x is ignored)')
+        if x is not None:
+            import warnings
+            warnings.warn(
+                'GridSearchCVTexture: regenerating training data per '
+                'fold from msparam (the pre-assembled x is ignored — a '
+                'pre-assembled feature array cannot be re-split by '
+                'texture once the per-texture scaling has been folded '
+                'in)', stacklevel=2)
         cvals = list(param_grid.get('C', [10]))
         gvals = list(param_grid.get('gamma', [1]))
         return self._train_svc_texture_gridsearch(

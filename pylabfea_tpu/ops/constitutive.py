@@ -108,11 +108,17 @@ def device_material_from(mat, dtype=jnp.float32, tex=None, compress=None):
         if compress:
             spec = compress if not isinstance(compress, bool) else 'auto'
             cached = getattr(mat, '_svc_reduced', None)
-            if cached is not None and cached[0] == spec:
+            # cache hit requires the SAME spec AND the same _svc object:
+            # retraining (train_SVC / compress_svc) replaces mat._svc, and
+            # serving a stale reduced center set of the old SVC would be a
+            # silently wrong yield surface.  The cache tuple holds the
+            # keyed _svc, so its identity cannot be recycled.
+            if cached is not None and cached[0] == spec \
+                    and cached[3] is p:
                 p, rel = cached[1], cached[2]
             else:
                 p, rel = _resolve_compress(p, compress)
-                mat._svc_reduced = (spec, p, rel)
+                mat._svc_reduced = (spec, p, rel, mat._svc)
             mat.svc_compress_rel = rel
         ndof = p.support_vectors.shape[1]
         txdat = bool(getattr(mat, 'txdat', False))

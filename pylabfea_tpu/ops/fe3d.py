@@ -417,7 +417,25 @@ def _stencil3_ok(md, Cp):
     NX, NY, NZ = md.grid[:3]
     if NX < 32 or not vp.fits3(NY, NZ):
         return False
-    return True if USE_STENCIL3 else fek._on_tpu()
+    if USE_STENCIL3:
+        return True
+    # pallas_call is not GSPMD-partitionable: with mesh3d's P(None, 'x')-
+    # sharded tangent volumes the partitioner must fully replicate the
+    # kernel operands (or fails), silently defeating the element-axis
+    # sharding and risking per-device OOM at the scales the sharding
+    # exists for.  Auto-selection therefore requires a single-device
+    # process; concrete single-device inputs (fully-replicated or
+    # unsharded) still qualify.  Force USE_STENCIL3 = True to override
+    # (e.g. from inside a shard_map whose specs replicate the operands).
+    if jax.device_count() > 1:
+        try:
+            sh = Cp.sharding
+            if not (sh.is_fully_replicated
+                    and len(sh.device_set) == 1):
+                return False
+        except Exception:   # tracer under jit: sharding unknowable here
+            return False
+    return fek._on_tpu()
 
 
 def _k_apply3_raw(md: MeshData3D, Cp, v):

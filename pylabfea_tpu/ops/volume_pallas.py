@@ -111,9 +111,20 @@ def _kapply3_kernel(c_ref, ua0_ref, ua1_ref, ua2_ref, ub0_ref, ub1_ref,
 
 
 def fits3(NY, NZ):
-    """True when the double-buffered (36, 1, NY, NZ) tangent block plus
-    working planes fit scoped VMEM (keep the block pair under ~10 MB)."""
-    return 36 * NY * NZ * 4 * 2 <= 10 * 2 ** 20
+    """True when the kernel's whole VMEM footprint fits the 24 MB scoped
+    cap (``vmem_limit_bytes`` in ``k_apply3_stencil``) with headroom:
+
+    * the double-buffered (36, 1, NY, NZ) tangent block pair (kept under
+      ~10 MB so the Mosaic pipeline overlaps the HBM fetches),
+    * double-buffered u/out/carry row blocks (13 (nnY, nnZ) planes x2),
+    * scratch (4 planes) and ~70 live (NY, NZ) stack temporaries (24
+      gathered dofs + 24 f24 + eps/sig + assembly views — the class of
+      overhead that already forced the cap from 16 to 24 MB at 128^2).
+    """
+    nn = (NY + 1) * (NZ + 1) * 4
+    pair = 36 * NY * NZ * 4 * 2
+    total = pair + 13 * nn * 2 + 4 * nn + 70 * NY * NZ * 4
+    return pair <= 10 * 2 ** 20 and total <= 22 * 2 ** 20
 
 
 @functools.partial(jax.jit,

@@ -17,7 +17,13 @@ not divisible by the device count; domain-decomposed volume sharding
 with explicit ppermute halos (the 2-D ``parallel/sharded.py`` x-strip
 design) is the known next stage for meshes whose nodal fields no longer
 fit replicated (at 256^3 the nodal tuple is ~0.8 GB — replication holds
-to well beyond that)."""
+to well beyond that).
+
+Known limitation: the fused Pallas volume kernel (``ops/volume_pallas``)
+is not GSPMD-partitionable, so ``fe3d._stencil3_ok`` auto-disables it in
+multi-device processes (the sharded step falls back to the unrolled XLA
+apply, which XLA partitions along 'x' like every other elementwise
+graph).  Single-chip runs keep the kernel."""
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

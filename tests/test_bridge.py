@@ -241,3 +241,48 @@ def test_1d_bar_device_vs_host():
     rel = abs(fe_d.glob['sig'][0] - fe_h.glob['sig'][0]) \
         / abs(fe_h.glob['sig'][0])
     assert rel < 5e-3, f'1-D plastic bar device/host mismatch {rel:.2e}'
+
+
+def test_adaptive_resume_matches_host():
+    """Continued loading (reference model.py:1214-1239, 1446-1447): solve,
+    raise the BCs, solve again — the device adaptive driver must resume
+    from the stored state with the host's BC-memory semantics instead of
+    restarting, and append to the global history."""
+    def build():
+        mat = FE.Material()
+        mat.elasticity(E=200.e3, nu=0.3)
+        mat.plasticity(sy=150., khard=1000., sdim=6)
+        fe = FE.Model(dim=2, planestress=False)
+        fe.geom([4.], LY=4.)
+        fe.assign([mat])
+        fe.bcleft(0.)
+        fe.bcbot(0.)
+        fe.bcright(0., 'force')
+        fe.bctop(0.0012 * fe.leny, 'disp')
+        fe.mesh(NX=8, NY=8)
+        return fe
+
+    host = build()
+    host.solve()
+    host.bctop(0.002 * host.leny, 'disp')
+    host.solve()
+
+    dev = build()
+    bridge.solve_on_device_adaptive(dev, dtype=jnp.float64, fast=False)
+    n_hist1 = len(dev.sgl)
+    dev.bctop(0.002 * dev.leny, 'disp')
+    bridge.solve_on_device_adaptive(dev, dtype=jnp.float64, fast=False)
+    assert len(dev.sgl) > n_hist1          # history appended, not replaced
+    assert len(dev.sgl) == len(host.sgl)
+    np.testing.assert_allclose(dev.bct_mem, host.bct_mem, atol=1e-12)
+
+    sig_h = np.array([e.sig for e in host.element])
+    sig_d = np.array([e.sig for e in dev.element])
+    epl_h = np.array([e.epl for e in host.element])
+    epl_d = np.array([e.epl for e in dev.element])
+    assert np.abs(sig_d - sig_h).max() < 1e-3
+    assert np.abs(epl_d - epl_h).max() < 1e-7
+    np.testing.assert_allclose(dev.u, host.u, atol=1e-7)
+    np.testing.assert_allclose(dev.glob['sig'], host.glob['sig'],
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(dev.sgl, host.sgl, rtol=1e-5, atol=1e-3)

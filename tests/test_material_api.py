@@ -5,6 +5,7 @@ texture mixing and the dispatching trainer.  Semantics follow the
 reference contracts (material.py:1009-1086, 518-574, 2301-2368,
 2705-2766, 1091-1107)."""
 import numpy as np
+import pytest
 import matplotlib
 
 matplotlib.use('Agg')
@@ -157,3 +158,27 @@ def test_plot_data_smoke():
     line = mat.plot_data(Z, axs, xx, yy, field=True)
     assert line is not None
     plt.close(fig)
+
+
+def test_gridsearch_texture_warns_on_ignored_x():
+    """GridSearchCVTexture accepts ``x`` for reference-API compatibility
+    but regenerates the training data per fold from msparam — passing a
+    pre-assembled array must warn UNCONDITIONALLY (not only when verbose);
+    x=None stays silent."""
+    import warnings
+    mat = FE.Material('tex-gs')
+    calls = {}
+
+    def stub(self=mat, **kw):
+        calls.update(kw)
+        return (1.0, 1.0)
+
+    mat._train_svc_texture_gridsearch = stub
+    with pytest.warns(UserWarning, match='ignored'):
+        mat.GridSearchCVTexture(np.zeros((4, 3)), {'C': [2.], 'gamma': [1.]},
+                                n_splits=2, verbose=False)
+    assert calls['cvals'] == [2.]
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        mat.GridSearchCVTexture(None, {'C': [2.], 'gamma': [1.]},
+                                n_splits=2, verbose=False)
