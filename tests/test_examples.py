@@ -143,3 +143,41 @@ def test_box3d_inclusion_example(tmp_path, monkeypatch):
     state, hist = box3d_inclusion.main(N=8, nsteps=4, plot=False,
                                        dtype=jnp.float64)
     assert np.isfinite(np.asarray(state.sig)).all()
+
+
+def test_umat_model_zoo_roundtrip():
+    """The committed pre-trained UMAT zoo (examples/UMAT/models/, the
+    analogue of the reference's abq_ML-*-svm.csv artifacts) loads through
+    from_MLparam and classifies inside/outside stress states correctly."""
+    import pylabfea_tpu as FE
+    zoo = os.path.join(EXDIR, "UMAT", "models")
+    for name, sy in [('abq_ML-J2_C15_G25', 60.),
+                     ('abq_ML-Hill-p1_C15_G25', 50.),
+                     ('abq_ML-Goss-Barlat_C15_G25', 50.)]:
+        mat = FE.Material(name)
+        mat.from_MLparam(name, path=zoo)
+        su = FE.load_cases(6, 12)
+        yf_in = mat.calc_yf(0.5 * sy * su)
+        yf_out = mat.calc_yf(2.0 * sy * su)
+        frac_in = np.mean(yf_in < 0.)
+        frac_out = np.mean(yf_out > 0.)
+        assert frac_in > 0.9, f'{name}: {frac_in:.0%} inside classified'
+        assert frac_out > 0.9, f'{name}: {frac_out:.0%} outside classified'
+
+
+def test_umat_plot_sig_eps(tmp_path):
+    """plot_sig_eps analogue: generates block-model results with the
+    native UMAT kernel and renders the PEEQ/equivalent-stress curves."""
+    pytest.importorskip('matplotlib')
+    sys.path.insert(0, os.path.join(EXDIR, "UMAT"))
+    try:
+        import plot_sig_eps as pse
+    finally:
+        sys.path.pop(0)
+    res = tmp_path / 'res.csv'
+    pse.generate_results(str(res))
+    out = pse.main(results=str(res))
+    assert os.path.exists(out)
+    dat = np.genfromtxt(str(res), names=True, delimiter=';')
+    assert dat['PEEQ'].max() > 1e-3       # plastic flow in the curves
+    assert dat['MISES'].max() > 40.
