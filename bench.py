@@ -421,6 +421,55 @@ def fe3d_fields(dtype):
     fields['volume_ms'] = round(t_a * 1e3, 3)
     fields['volume_gbps'] = round(gbps, 1)
     fields['volume_frac_peak'] = round(gbps / V5E_HBM_GBPS, 3)
+
+    # --- 3-D multi-material inclusion (VERDICT r5 item 2b): centered
+    # stiff elastic inclusion (1/8 edge fraction like train_hill's 2-D
+    # flagship) in the J2+hardening matrix, grouped return map.  Parity
+    # of the production dtype is asserted against an f64 solve at 16^3;
+    # the timed row is the 64^3 transition step.
+    incl = FE.Material(num=2)
+    incl.elasticity(E=600.e3, nu=0.3)
+    CV_i = np.zeros((6, 6))
+    CV_i[:3, :3] = incl.C12
+    np.fill_diagonal(CV_i[:3, :3], incl.C11)
+    CV_i[3, 3] = CV_i[4, 4] = CV_i[5, 5] = incl.C44
+
+    def incl_solve(Ni, dt_, nsteps=4):
+        mm = np.zeros((Ni, Ni, Ni), np.int32)
+        lo, hi = 3 * Ni // 8, 5 * Ni // 8
+        mm[lo:hi, lo:hi, lo:hi] = 1
+        mdi = fe3d.box_mesh(Ni, Ni, Ni, uniax='z', eps_tot=0.002,
+                            mat_map=mm, dtype=dt_)
+        dmm = con.device_material_from(mat, dtype=dt_)
+        dmi = con.device_material_from(incl, dtype=dt_)
+        return mdi, (dmm, dmi), (mat.CV, CV_i)
+
+    md16, mats16, CVs16 = incl_solve(16, dtype)
+    _, h32 = fe3d.solve_uniaxial3(md16, mats16, CVs16, nsteps=4,
+                                  n_inner=2)
+    md16d, mats16d, CVs16d = incl_solve(16, jnp.float64)
+    _, h64 = fe3d.solve_uniaxial3(md16d, mats16d, CVs16d, nsteps=4,
+                                  n_inner=2)
+    gs32 = np.asarray(h32[-1][0], float)
+    gs64 = np.asarray(h64[-1][0], float)
+    par = float(np.abs(gs32 - gs64).max() / np.abs(gs64).max())
+    assert par < 5e-4, f'3-D inclusion f32-vs-f64 parity {par:.2e}'
+    fields['incl3d_parity_16cubed'] = round(par, 8)
+
+    Ni = 64
+    mdi, matsi, CVsi = incl_solve(Ni, dtype)
+    sti = fe3d.init_state3(mdi, CVsi, dtype=dtype)
+    sti, di = fe3d.load_step3(mdi, sti, matsi, CVsi, 0.4, n_inner=2,
+                              du0=jnp.zeros_like(sti.u))
+    sync(sti.sig)
+    t0 = time.perf_counter()
+    sti, di = fe3d.load_step3(mdi, sti, matsi, CVsi, 0.3, n_inner=2,
+                              du0=di['du'])
+    sync(sti.sig)
+    dti = time.perf_counter() - t0
+    log(f'FE Newton step 3-D 64^3 2-material inclusion (grouped return '
+        f'map, f32-vs-f64 parity {par:.1e} at 16^3): {dti * 1e3:.0f} ms')
+    fields['step_s_64cubed_3d_inclusion'] = round(dti, 4)
     return fields
 
 

@@ -371,8 +371,10 @@ def _k_apply3_fori(md: MeshData3D, Cp, v):
     B = jnp.asarray(_hex_B(lx, ly, lz), Cp.dtype)      # (8, 6, 24) const
     jacw = lx * ly * lz / 8.
     up = _gather_vols_list(md, v)
-    nn = (NX + 1, NY + 1, NZ + 1)
-    zero = jnp.zeros(nn, Cp.dtype)
+    # seed the accumulator from the input (not a literal zeros): under
+    # shard_map the carry must hold the inputs' varying-manual-axes type
+    # or the fori_loop type check rejects the body (carry {} vs {V:x})
+    zero = (v[0] * 0.).astype(Cp.dtype)
 
     def body(g, acc):
         Bg = jax.lax.dynamic_index_in_dim(B, g, 0, keepdims=False)

@@ -13,11 +13,11 @@ collectives.  8-virtual-device parity vs the single-device step: 3e-14
 (tests/test_fe3d.py).
 
 Nodal volumes cannot shard on this JAX version because nnX = NX + 1 is
-not divisible by the device count; domain-decomposed volume sharding
-with explicit ppermute halos (the 2-D ``parallel/sharded.py`` x-strip
-design) is the known next stage for meshes whose nodal fields no longer
-fit replicated (at 256^3 the nodal tuple is ~0.8 GB — replication holds
-to well beyond that).
+not divisible by the device count.  For meshes whose nodal fields no
+longer fit replicated (at 256^3 the nodal tuple is ~0.8 GB — replication
+holds to well beyond that), ``parallel/sharded3.py`` provides the
+domain-decomposed alternative: x-slab volume sharding with explicit
+ppermute halo-plane exchange and a two-level Schwarz preconditioner.
 
 Known limitation: the fused Pallas volume kernel (``ops/volume_pallas``)
 is not GSPMD-partitionable, so ``fe3d._stencil3_ok`` auto-disables it in
