@@ -87,6 +87,61 @@ def _hex_B(lx, ly, lz, dtype=np.float64):
     return Bs
 
 
+def _hex_B_modes(lx, ly, lz):
+    """Exact parity-mode factorization of the hex8 Gauss sum.
+
+    B(xi) is multilinear in (xi, eta, zeta) and the 2x2x2 Gauss points
+    are sign-symmetric, so with B = sum_p mu_p(xi) B_p over parity
+    monomials mu_p = prod_d xi_d^{p_d} (p in {0,1}^3) the cross moments
+    vanish: sum_g mu_p(xi_g) mu_q(xi_g) = 8 (1/3)^{|p|} delta_pq.  Hence
+
+        sum_g B_g^T C B_g  =  sum_p w_p B_p^T C B_p,   w_p = 8 (1/3)^{|p|}
+
+    EXACTLY — 7 non-empty modes (the xi*eta*zeta mode is empty because
+    each dN_a/dx_d is constant in xi_d) with 288 total nonzeros versus
+    576 across the 8 Gauss matrices, and the per-mode sigma stage prunes
+    to the mode's active strain rows: ~714 plane-FMAs per apply instead
+    of 1440.  The mode matrices are built ANALYTICALLY (expanding
+    dN_a/dx_d = 0.25 s_d/L_d (1 + s_e1 xi_e1)(1 + s_e2 xi_e2)), so the
+    sparsity is exact, not threshold-detected.
+
+    Returns a tuple of (Bp: (6, 24) nested list, w_p: float, rows:
+    tuple of active strain-row indices) for the non-empty modes.
+    """
+    L = (lx, ly, lz)
+    # strain row 'a' receives dN/d(x_d) on the element-dof component c:
+    # Voigt order (11, 22, 33, 23, 13, 12), engineering shears
+    _ROWS_OF = ((0, 0), (1, 1), (2, 2), (3, 1), (3, 2), (4, 0), (4, 2),
+                (5, 0), (5, 1))
+    _D_OF = {(0, 0): 0, (1, 1): 1, (2, 2): 2, (3, 1): 2, (3, 2): 1,
+             (4, 0): 2, (4, 2): 0, (5, 0): 1, (5, 1): 0}
+    Bp = {p: np.zeros((6, 24)) for p in
+          ((0, 0, 0),) + tuple(t for t in _CORNERS3 if t != (0, 0, 0))}
+    for a, cn in enumerate(_CORNERS3):
+        s = [2. * c - 1. for c in cn]
+        for (row, comp) in _ROWS_OF:
+            d = _D_OF[(row, comp)]
+            e1, e2 = [e for e in range(3) if e != d]
+            base = 0.25 * s[d] / L[d]
+            i = 3 * a + comp
+            p0 = [0, 0, 0]
+            Bp[tuple(p0)][row, i] += base
+            p1 = [0, 0, 0]; p1[e1] = 1
+            Bp[tuple(p1)][row, i] += base * s[e1]
+            p2 = [0, 0, 0]; p2[e2] = 1
+            Bp[tuple(p2)][row, i] += base * s[e2]
+            p3 = [0, 0, 0]; p3[e1] = 1; p3[e2] = 1
+            Bp[tuple(p3)][row, i] += base * s[e1] * s[e2]
+    modes = []
+    for p, M in Bp.items():
+        if not np.any(M):
+            continue
+        w = 8. * (1. / 3.) ** sum(p)
+        rows = tuple(a for a in range(6) if np.any(M[a]))
+        modes.append((M.tolist(), w, rows))
+    return tuple(modes)
+
+
 class MeshData3D(NamedTuple):
     """Structured 3-D mesh arrays for the device solver (see module doc).
 
@@ -596,7 +651,7 @@ def _dense_coarse_inv3(level: MGLevel3):
     return (SV * winv[None, :]) @ SV.T
 
 
-def _make_level3(md, Cp):
+def _make_level3(md, Cp, lmax=None):
     """Level record incl. a power-iteration estimate of
     lambda_max(D^-1 K) for the Chebyshev smoother.  Point-Jacobi is NOT a
     safe 3-D smoother: lambda_max(D^-1 K) of the hex8 elasticity operator
@@ -604,9 +659,17 @@ def _make_level3(md, Cp):
     sits above its 2/lambda_max ~ 0.687 stability bound — the highest
     modes are amplified and the V-cycle stalls at rho ~ 0.97 (the 2-D
     bilinear-quad operator stays below the bound, which is why Jacobi
-    works there)."""
+    works there).
+
+    ``lmax`` (from an earlier hierarchy on the same mesh) skips the
+    power iteration — 10 K-applies per level — for mid-step rebuilds:
+    plastification SOFTENS the tangent, and lambda_max(D^-1 K) is scale
+    free in the diagonal, so the entering estimate (already carrying the
+    1.1x Chebyshev safety margin in ``_smooth3``) stays an upper bound."""
     fixT = _split3(md.fixed)
     diag = k_diag3_t(md, Cp, fixT)
+    if lmax is not None:
+        return MGLevel3(md, Cp, diag, fixT, lmax)
     # deterministic-start power iteration (multigrid._make_level twin)
     nnX, nnY, nnZ = (md.grid[0] + 1, md.grid[1] + 1, md.grid[2] + 1)
     i = jnp.arange(nnX * nnY * nnZ, dtype=Cp.dtype).reshape(nnX, nnY, nnZ)
@@ -626,19 +689,63 @@ def _make_level3(md, Cp):
     return MGLevel3(md, Cp, diag, fixT, lmax)
 
 
-def build_hierarchy3(md: MeshData3D, elstiff, min_size=4):
-    """Level list (fine -> coarse) for the current tangent field."""
+#: tangent-independent coarse-mesh chains, keyed on the fine grid with the
+#: fine ``fixed`` array held strongly so an ``is`` identity check can never
+#: hit a recycled id.  Rationale: building the chain INSIDE a traced
+#: hierarchy build costs ~77 ms per 128^3 build at run time (measured v5e —
+#: the box_mesh/fixed-dilation ops on captured device arrays are too large
+#: for XLA constant folding), while the chain itself never changes.
+_MESH_CHAIN3_CACHE = {}
+
+
+def _mesh_chain3(md: MeshData3D, min_size):
+    key = (tuple(md.grid), min_size)
+    hit = _MESH_CHAIN3_CACHE.get(key)
+    if hit is not None and hit[0] is md.fixed:
+        return hit[1]
+    # under an active jit trace, jnp ops on CONCRETE operands still become
+    # jaxpr equations (there is no eager constant evaluation, and XLA's
+    # constant folder skips volume-sized arrays) — so without the eval
+    # guard the box_mesh/mask-dilation chain re-executes on device on
+    # EVERY hierarchy build (~77 ms at 128^3 on v5e, measured)
+    with jax.ensure_compile_time_eval():
+        chain = [md]
+        while True:
+            NX, NY, NZ = chain[-1].grid[:3]
+            if (NX % 2 or NY % 2 or NZ % 2 or NX // 2 < min_size
+                    or NY // 2 < min_size or NZ // 2 < min_size):
+                break
+            chain.append(coarsen_mesh3(chain[-1]))
+    # never park tracers in a module-level cache (shard_map/jit-arg meshes
+    # keep traced `fixed` masks through ensure_compile_time_eval)
+    if not any(isinstance(x, jax.core.Tracer)
+               for m in chain for x in (m.fixed,)):
+        _MESH_CHAIN3_CACHE[key] = (md.fixed, chain)
+        if len(_MESH_CHAIN3_CACHE) > 32:
+            _MESH_CHAIN3_CACHE.pop(next(iter(_MESH_CHAIN3_CACHE)))
+    return chain
+
+
+def build_hierarchy3(md: MeshData3D, elstiff, min_size=4, lmax_from=None,
+                     chain=None):
+    """Level list (fine -> coarse) for the current tangent field.
+
+    ``lmax_from`` reuses per-level Chebyshev lambda_max estimates from a
+    previous hierarchy on the same mesh (see ``_make_level3``), cutting a
+    mid-step rebuild to the coarsen/diagonal chain + the dense bottom
+    factorization (~22 ms vs ~120 ms at 128^3 on v5e).  The mesh chain
+    itself is tangent-independent; pass a precomputed ``chain`` when
+    calling from inside jit (``md`` traced), else it is served from a
+    host-side cache."""
+    if chain is None:
+        chain = _mesh_chain3(md, min_size)
     levels = []
-    cur_md = md
     Cp = elstiff_vols(md, elstiff)
-    while True:
-        levels.append(_make_level3(cur_md, Cp))
-        NX, NY, NZ = cur_md.grid[:3]
-        if (NX % 2 or NY % 2 or NZ % 2 or NX // 2 < min_size
-                or NY // 2 < min_size or NZ // 2 < min_size):
-            break
-        Cp = coarsen_C(Cp)
-        cur_md = coarsen_mesh3(cur_md)
+    for i, cur_md in enumerate(chain):
+        prev = lmax_from[i].lmax if lmax_from is not None else None
+        levels.append(_make_level3(cur_md, Cp, lmax=prev))
+        if i + 1 < len(chain):
+            Cp = coarsen_C(Cp)
     bot = levels[-1]
     nnb = [g + 1 for g in bot.md.grid[:3]]
     if 3 * nnb[0] * nnb[1] * nnb[2] <= COARSE_DENSE_MAX3:
@@ -828,51 +935,79 @@ def respond_grouped3(md: MeshData3D, mat, CV, sig, epl, deps, fast=True,
     return scat(fy_g), scat(sig_n), scat(depl_n), scat(grad_n)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def load_step3(md: MeshData3D, state: SolverState3, mat, CV, load_frac,
                n_inner=2, cg_tol=None, cg_maxiter=100, fast=True, nsub=4,
-               du0=None):
+               du0=None, rebuild_mid=True, cg_tol_inner=None):
     """One incremental load step of the 3-D device solver: elastic
     predictor + ``n_inner`` secant-Picard equilibrium iterations, each an
     MG-CG solve with the current tangent volumes followed by the batched
     return map and a change-gated tangent update — the 2-D ``load_step``
     semantics (reference model.py:1270-1445) on hex8 volumes.
 
-    The multigrid hierarchy is built ONCE per step from the entering
-    tangent field and reused as the preconditioner of every inner
-    iteration (the Krylov operator itself always applies the current
-    tangents via ``Cp_apply``); each inner solve warm-starts from the
-    previous iteration's increment, and ``du0`` warm-starts the first
-    from the previous step's.
+    The multigrid hierarchy is built from the entering tangent field;
+    with ``rebuild_mid`` (default) it is rebuilt ONCE more after the
+    first inner iteration — reusing the per-level Chebyshev lambda_max
+    estimates — so the plastified-tangent solves of a transition step
+    precondition with fresh coarse operators instead of the elastic
+    entry field (measured at 128^3: inner CG iterations 15+13 -> ~7+6).
+    The Krylov operator itself always applies the CURRENT tangents via
+    ``Cp_apply``; preconditioner staleness costs iterations, never
+    correctness.
 
-    Returns (new_state, diagnostics)."""
-    if md.groups is None:
-        CV = jnp.asarray(CV, dtype=state.u.dtype)
+    Non-final inner solves run at ``cg_tol_inner`` (default
+    ``max(cg_tol, 3e-5 relative)`` in f32) — inexact secant-Picard in
+    the Eisenstat-Walker sense: intermediate increments only steer the
+    tangent update, while the COMMITTED displacement field always comes
+    from the final solve at the full ``cg_tol``.
+
+    Each inner solve warm-starts from the previous iteration's
+    increment, and ``du0`` warm-starts the first from the previous
+    step's.  Returns (new_state, diagnostics)."""
     if cg_tol is None:
         cg_tol = 1.e-11 if state.u.dtype == jnp.float64 else 1.e-6
+    if cg_tol_inner is None:
+        loose = 1.e-9 if state.u.dtype == jnp.float64 else 3.e-5
+        cg_tol_inner = max(cg_tol, loose)
+    if du0 is None:
+        du0 = jnp.zeros_like(state.u)
+    # the tangent-independent coarse-mesh chain is built (and cached)
+    # OUTSIDE the jitted step: as a traced-argument computation it costs
+    # ~77 ms per hierarchy build at 128^3 (see _mesh_chain3)
+    chain = _mesh_chain3(md, 4)
+    return _load_step3_core(tuple(chain), state, mat, CV, load_frac, du0,
+                            n_inner, float(cg_tol), cg_maxiter, fast,
+                            nsub, bool(rebuild_mid), float(cg_tol_inner))
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _load_step3_core(chain, state, mat, CV, load_frac, du0, n_inner,
+                     cg_tol, cg_maxiter, fast, nsub, rebuild_mid,
+                     cg_tol_inner):
+    md = chain[0]
+    if md.groups is None:
+        CV = jnp.asarray(CV, dtype=state.u.dtype)
     bc_val = md.fixed_val * load_frac
     fixT = _split3(md.fixed)
     bcT = _split3(bc_val)
     frcT = _split3(md.force)
-    levels = build_hierarchy3(md, elstiff_vols(md, state.elstiff))
+    levels = build_hierarchy3(md, elstiff_vols(md, state.elstiff),
+                              chain=chain)
 
-    def solve_with(elstiff, x0):
+    def solve_with(levels, elstiff, x0, tol):
         Cp = elstiff_vols(md, elstiff)
         du_bc = tuple(jnp.where(f, b, 0.) for f, b in zip(fixT, bcT))
         neg = _k_apply3_raw(md, Cp, du_bc)
         rhs = tuple(jnp.where(f, b, fr * load_frac - q)
                     for f, b, fr, q in zip(fixT, bcT, frcT, neg))
         x0 = tuple(jnp.where(f, b, x) for f, b, x in zip(fixT, bcT, x0))
-        duT, res, it = mg_cg_solve3(levels, rhs, x0, tol=cg_tol,
+        duT, res, it = mg_cg_solve3(levels, rhs, x0, tol=tol,
                                     maxiter=cg_maxiter, Cp_apply=Cp)
         return _merge3(duT), res, it
 
-    if du0 is None:
-        du0 = jnp.zeros_like(state.u)
-
-    def inner(carry, _):
+    def inner(levels, carry, tol):
         elstiff, du_prev = carry
-        du, cg_res, cg_it = solve_with(elstiff, _split3(du_prev))
+        du, cg_res, cg_it = solve_with(levels, elstiff, _split3(du_prev),
+                                       tol)
         deps = element_deps3(md, du)
         fy, sig_n, depl_n, grad = respond_grouped3(
             md, mat, CV, state.sig, state.epl, deps, fast=fast,
@@ -883,8 +1018,22 @@ def load_step3(md: MeshData3D, state: SolverState3, mat, CV, load_frac,
         return (elstiff, du), (du, fy, sig_n, depl_n, dst.max(), cg_res,
                                cg_it)
 
-    (elstiff, _), outs = jax.lax.scan(inner, (state.elstiff, du0), None,
-                                      length=n_inner + 1)
+    carry = (state.elstiff, du0)
+    dt = state.u.dtype
+    if rebuild_mid and n_inner >= 1:
+        carry, out0 = inner(levels, carry, cg_tol_inner)
+        levels = build_hierarchy3(md, elstiff_vols(md, carry[0]),
+                                  lmax_from=levels, chain=chain)
+        tols = jnp.array([cg_tol_inner] * (n_inner - 1) + [cg_tol], dt)
+        carry, outs = jax.lax.scan(lambda c, t: inner(levels, c, t),
+                                   carry, tols)
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b]), out0, outs)
+    else:
+        tols = jnp.array([cg_tol_inner] * n_inner + [cg_tol], dt)
+        carry, outs = jax.lax.scan(lambda c, t: inner(levels, c, t),
+                                   carry, tols)
+    elstiff = carry[0]
     du = outs[0][-1]
     deps = element_deps3(md, du)
     new = SolverState3(u=state.u + du, sig=outs[2][-1],
