@@ -400,6 +400,28 @@ def fe3d_fields(dtype):
         f'{dt * 1e3:.0f} ms -> {N ** 3 / dt:,.0f} element-updates/s')
     fields = {'step_s_64cubed_3d': round(dt, 4)}
 
+    # --- 128^3 flagship row (VERDICT r5 item 2a: target <= 0.6 s).
+    # ~2.1M hex8 elements; XLA compile ~3-5 min cold (persistent cache
+    # makes reruns cheap).  PYLABFEA_BENCH_128=0 skips on a tight budget.
+    if os.environ.get('PYLABFEA_BENCH_128', '1') == '1':
+        N2 = 128
+        md2 = fe3d.box_mesh(N2, N2, N2, uniax='z', eps_tot=0.002,
+                            dtype=dtype)
+        st2 = fe3d.init_state3(md2, mat.CV, dtype=dtype)
+        st2, d2 = fe3d.load_step3(md2, st2, dm, mat.CV, 0.4, n_inner=2,
+                                  du0=jnp.zeros_like(st2.u))
+        sync(st2.sig)
+        t0 = time.perf_counter()
+        st2, d2 = fe3d.load_step3(md2, st2, dm, mat.CV, 0.3, n_inner=2,
+                                  du0=d2['du'])
+        sync(st2.sig)
+        dt2 = time.perf_counter() - t0
+        log(f'FE Newton step 3-D 128^3 (2.1M hex8 elements, iters/inner '
+            f'{[int(x) for x in d2["cg_iters_hist"]]}): {dt2 * 1e3:.0f} ms '
+            f'-> {N2 ** 3 / dt2:,.0f} element-updates/s')
+        fields['step_s_128cubed'] = round(dt2, 4)
+        del st2, d2, md2
+
     # measured roofline of the fused volume K-apply (VERDICT r5 item 5):
     # single-pass traffic model = the 36 tangent volumes once + u read
     # twice (aligned + shifted row streams) + out write (3 components)

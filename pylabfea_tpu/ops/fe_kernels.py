@@ -882,17 +882,29 @@ def solve_linear(md: MeshData, elstiff, bc_val, force=None, cg_tol=None,
 
 
 @jax.jit
-def _hier_kes_jit(md: MeshData, elstiff):
+def _hier_kes_core(chain, elstiff):
     from pylabfea_tpu.ops import multigrid as mg
     # attach_inv=False: hierarchy_kes itself factorizes the dense bottom
     # solve (once per tangent rebuild) and appends it to the kes tuple —
     # building it on the levels too would trace it twice
-    return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff,
-                                               attach_inv=False))
+    return mg.hierarchy_kes(mg.build_hierarchy(chain[0], elstiff,
+                                               attach_inv=False,
+                                               chain=chain))
+
+
+def _hier_kes_jit(md: MeshData, elstiff):
+    """Jitted hierarchy build; the tangent-independent coarse-mesh chain
+    crosses the jit boundary precomputed (multigrid._mesh_chain cache) —
+    as traced-argument compute it cost ~30 ms per build at 1024^2."""
+    from pylabfea_tpu.ops import multigrid as mg
+    return _hier_kes_core(mg._mesh_chain(md), elstiff)
+
+
+_hier_kes_jit.clear_cache = _hier_kes_core.clear_cache
 
 
 @jax.jit
-def _hier_kes_cond_jit(md: MeshData, elstiff, kes_prev, dst):
+def _hier_kes_cond_core(chain, elstiff, kes_prev, dst):
     """Device-side conditional hierarchy rebuild: Galerkin-coarsen only
     when the tangent update actually replaced element stiffnesses
     (``dst > 1e-3`` — the same threshold the update itself applies, so
@@ -904,15 +916,25 @@ def _hier_kes_cond_jit(md: MeshData, elstiff, kes_prev, dst):
     from pylabfea_tpu.ops import multigrid as mg
 
     def rebuild(_):
-        return mg.hierarchy_kes(mg.build_hierarchy(md, elstiff,
-                                                   attach_inv=False))
+        return mg.hierarchy_kes(mg.build_hierarchy(chain[0], elstiff,
+                                                   attach_inv=False,
+                                                   chain=chain))
 
     return jax.lax.cond(dst > 1.e-3, rebuild, lambda _: kes_prev, None)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
+def _hier_kes_cond_jit(md: MeshData, elstiff, kes_prev, dst):
     from pylabfea_tpu.ops import multigrid as mg
+    return _hier_kes_cond_core(mg._mesh_chain(md), elstiff, kes_prev, dst)
+
+
+_hier_kes_cond_jit.clear_cache = _hier_kes_cond_core.clear_cache
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _mg_solve_core(chain, kes, bc_val, force, cg_tol, cg_maxiter, x0):
+    from pylabfea_tpu.ops import multigrid as mg
+    md = chain[0]
     if _stencil_ok(md, kes[0]):
         # pin the stiffness planes to the default (row-major) layout ONCE:
         # the Pallas stencil custom call constrains its operands to default
@@ -926,7 +948,7 @@ def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
                 k, _jl.Layout(tuple(range(k.ndim)))) for k in kes)
         except Exception:  # pragma: no cover - layout API is experimental
             pass
-    levels = mg.levels_from_kes(md, kes)
+    levels = mg.levels_from_kes(md, kes, chain=chain)
     Kp = kes[0]
     fixT = _split(md.fixed)
     bcT = _split(bc_val)
@@ -941,6 +963,17 @@ def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
     duT, res, it = mg.mg_cg_solve(levels, rhs, start, tol=cg_tol,
                                   maxiter=min(cg_maxiter, 100))
     return _merge(duT), res, it
+
+
+def _mg_solve_jit(md: MeshData, kes, bc_val, force, cg_tol, cg_maxiter, x0):
+    """Jitted MG-CG solve; see ``_hier_kes_jit`` for why the coarse-mesh
+    chain crosses the jit boundary precomputed."""
+    from pylabfea_tpu.ops import multigrid as mg
+    return _mg_solve_core(mg._mesh_chain(md), kes, bc_val, force, cg_tol,
+                          cg_maxiter, x0)
+
+
+_mg_solve_jit.clear_cache = _mg_solve_core.clear_cache
 
 
 @jax.jit

@@ -53,6 +53,37 @@ def coarsen_mesh(md: fek.MeshData):
     return mdc._replace(fixed=fc)
 
 
+#: tangent-independent coarse-mesh chains, keyed on the fine grid with the
+#: fine ``fixed`` array held strongly so the ``is`` identity check can never
+#: hit a recycled id (fe3d._mesh_chain3 twin).  Building the chain INSIDE a
+#: traced program costs ~30 ms per hierarchy build at 1024^2 at run time
+#: (measured v5e: jnp ops on concrete operands still become jaxpr equations
+#: under trace, and XLA won't constant-fold mask-sized arrays).
+_MESH_CHAIN_CACHE = {}
+
+
+def _mesh_chain(md: fek.MeshData, min_size=8):
+    key = (tuple(md.grid), min_size)
+    hit = _MESH_CHAIN_CACHE.get(key)
+    if hit is not None and hit[0] is md.fixed:
+        return hit[1]
+    with jax.ensure_compile_time_eval():
+        chain = [md]
+        while True:
+            NX, NY = _grid_of(chain[-1])
+            if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
+                break
+            chain.append(coarsen_mesh(chain[-1]))
+    chain = tuple(chain)
+    # never park tracers in a module-level cache (jit-arg meshes keep
+    # traced `fixed` masks through ensure_compile_time_eval)
+    if not isinstance(md.fixed, jax.core.Tracer):
+        _MESH_CHAIN_CACHE[key] = (md.fixed, chain)
+        if len(_MESH_CHAIN_CACHE) > 32:
+            _MESH_CHAIN_CACHE.pop(next(iter(_MESH_CHAIN_CACHE)))
+    return chain
+
+
 def coarsen_elstiff(md, elstiff):
     """Average the 2x2 fine element tangent blocks -> coarse element C.
     Planes layout (36, NX, NY) in and out (rows accepted for back-compat).
@@ -286,26 +317,29 @@ def _attach_coarse_inv(levels):
     return levels
 
 
-def build_hierarchy(md: fek.MeshData, elstiff, min_size=8, attach_inv=True):
+def build_hierarchy(md: fek.MeshData, elstiff, min_size=8, attach_inv=True,
+                    chain=None):
     """Build the level list (fine -> coarse) for the current tangent field.
 
     ``attach_inv=False`` skips the dense bottom-solve factorization — for
     callers that only keep the per-level stiffness planes (``hierarchy_kes``
     consumers), where tracing the ~n dense K-applies plus the
     eigendecomposition would inflate compile time of a program whose result
-    discards them."""
+    discards them.
+
+    The coarse-mesh chain is tangent-independent; pass a precomputed
+    ``chain`` when calling from inside jit (``md`` traced), else it is
+    served from a host-side cache (``_mesh_chain``)."""
+    if chain is None:
+        chain = _mesh_chain(md, min_size)
     levels = []
-    cur_md = md
     Ke = fek.element_stiffness_planes(md, elstiff)
-    while True:
+    for i, cur_md in enumerate(chain):
         levels.append(_make_level(cur_md, Ke))
-        NX, NY = _grid_of(cur_md)
-        if NX % 2 or NY % 2 or NX // 2 < min_size or NY // 2 < min_size:
-            break
-        # exact Galerkin coarse operator; the coarse mesh only provides the
-        # BC masks / grid metadata (same generator as the fine level)
-        Ke = galerkin_coarsen_Ke(Ke)
-        cur_md = coarsen_mesh(cur_md)
+        if i + 1 < len(chain):
+            # exact Galerkin coarse operator; the coarse mesh only provides
+            # the BC masks / grid metadata (same generator as the fine one)
+            Ke = galerkin_coarsen_Ke(Ke)
     return _attach_coarse_inv(levels) if attach_inv else levels
 
 
@@ -337,20 +371,23 @@ def hierarchy_kes(levels):
     return kes
 
 
-def levels_from_kes(md: fek.MeshData, kes):
-    """Rebuild the level list from per-level stiffness planes (masks and
-    Jacobi diagonals are cheap and recomputed in-trace).  A trailing 2-D
-    element is the precomputed dense bottom inverse (see
-    ``hierarchy_kes``); legacy plane-only tuples factorize it here."""
+def levels_from_kes(md: fek.MeshData, kes, chain=None):
+    """Rebuild the level list from per-level stiffness planes (Jacobi
+    diagonals are cheap and recomputed in-trace; the coarse-mesh chain
+    comes from the host-side ``_mesh_chain`` cache — or pass ``chain``
+    when ``md`` is traced).  A trailing 2-D element is the precomputed
+    dense bottom inverse (see ``hierarchy_kes``); legacy plane-only
+    tuples factorize it here."""
     kc_inv = None
     if len(kes) > 1 and kes[-1].ndim == 2:
         kc_inv, kes = kes[-1], kes[:-1]
+    if chain is None:
+        chain = _mesh_chain(md, 8)
     levels = []
-    cur_md = md
     for i, Ke in enumerate(kes):
+        cur_md = chain[i] if i < len(chain) else coarsen_mesh(
+            levels[-1].md)
         levels.append(_make_level(cur_md, Ke))
-        if i + 1 < len(kes):
-            cur_md = coarsen_mesh(cur_md)
     if kc_inv is not None:
         levels[-1].kc_inv = kc_inv
         return levels

@@ -49,6 +49,31 @@ def test_hex_B_exact_on_linear_fields():
     np.testing.assert_allclose(eps, np.tile(expect, (8, 1)), atol=1e-14)
 
 
+def test_hex_B_modes_exact_gauss_sum():
+    """The 7-mode parity factorization (fe3d._hex_B_modes) reproduces the
+    8-point Gauss sum of B^T C B exactly — the identity the fused Pallas
+    volume kernel relies on (sign-symmetric points kill cross moments of
+    the parity monomials)."""
+    rng = np.random.default_rng(3)
+    lx, ly, lz = 0.7, 1.3, 2.1
+    A = rng.normal(size=(6, 6))
+    C = A @ A.T + 6. * np.eye(6)          # SPD like a tangent
+    B = np.asarray(fe3d._hex_B(lx, ly, lz))          # (8, 6, 24)
+    ref = sum(B[g].T @ C @ B[g] for g in range(8))
+    modes = fe3d._hex_B_modes(lx, ly, lz)
+    assert len(modes) == 7
+    got = np.zeros((24, 24))
+    nnz = 0
+    for Bm, w, rows in modes:
+        M = np.asarray(Bm)
+        got += w * (M.T @ C @ M)
+        nnz += np.count_nonzero(M)
+        # the advertised active strain rows are exact, not thresholded
+        assert set(rows) == {a for a in range(6) if np.any(M[a])}
+    assert nnz == 288                       # vs 576 across the 8 GP set
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13)
+
+
 def test_elastic_uniaxial_analytic():
     """Roller-supported box pulled in z: exact uniaxial stress state —
     sig_zz = E * eps, lateral strains -nu * eps, homogeneous field."""
