@@ -428,14 +428,19 @@ def fe3d_fields(dtype):
     fixT = fe3d._split3(md.fixed)
     vT = fe3d._split3(st.u)
     Cp = st.elstiff
-    apply_j = jax.jit(lambda C, v: fe3d.k_apply3_t(md, C, v, fixT))
+    # loop the apply INSIDE one jit (output chained into the next input)
+    # so the per-call dispatch over the device tunnel (~1-2 ms) doesn't
+    # floor the measurement at this size
+    REPS_IN = 20
+    apply_j = jax.jit(lambda C, v: jax.lax.fori_loop(
+        0, REPS_IN, lambda _, vv: fe3d.k_apply3_t(md, C, vv, fixT), v))
     out = apply_j(Cp, vT)
     sync(out)
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(3):
         out = apply_j(Cp, vT)
     sync(out)
-    t_a = (time.perf_counter() - t0) / 10
+    t_a = (time.perf_counter() - t0) / (3 * REPS_IN)
     nn3 = (N + 1) ** 3
     gbps = (36 * N ** 3 + 9 * nn3) * 4 / t_a / 1e9
     log(f'volume K-apply {N}^3: {t_a * 1e3:.2f} ms -> {gbps:.0f} GB/s '

@@ -226,13 +226,19 @@ def _coarse_weights3(sm: SlabMesh3, nyc=None, nzc=None):
             jnp.asarray(wmat(sm.nnZ, nzc), sm.dtype), nyc, nzc)
 
 
-def build_coarse_inv3(sm: SlabMesh3, C_blocks, nyc=None, nzc=None):
+def build_coarse_inv3(sm: SlabMesh3, C_blocks, nyc=None, nzc=None,
+                      fixed=None):
     """Galerkin coarse operator Kc = P^T K P of the slab-spanning coarse
     space, psum-assembled from per-slab element contributions (the
     duplicated boundary planes hold PARTIAL sums per device, so plain
     local applies psum to the exact assembly), then inverted redundantly
     on every device.  Sequential ``lax.map`` over the coarse basis keeps
-    peak memory at one local apply."""
+    peak memory at one local apply.
+
+    ``fixed`` passes the slab BC masks explicitly — required when called
+    inside a jitted program in a MULTI-PROCESS runtime, where closing
+    over ``sm.fixed`` (an array spanning non-addressable devices) is an
+    error."""
     Wx_b, Wy, Wz, nyc, nzc = _coarse_weights3(sm, nyc, nzc)
     D = sm.D
     nc = (D + 1) * nyc * nzc * 3
@@ -261,7 +267,7 @@ def build_coarse_inv3(sm: SlabMesh3, C_blocks, nyc=None, nzc=None):
         Kc_loc = jax.lax.map(lambda e: restrict(lapply(prolong(e))), eye)
         return jax.lax.psum(Kc_loc, 'x')
 
-    Kc = assemble(C_blocks, Wx_b, sm.fixed)
+    Kc = assemble(C_blocks, Wx_b, sm.fixed if fixed is None else fixed)
     # coarse dofs with (near-)empty support after Dirichlet masking would
     # make Kc singular — replace them by identity rows/cols
     dKc = jnp.diagonal(Kc)
@@ -387,14 +393,19 @@ def make_slab_cg3(sm: SlabMesh3, two_level=True, nu=2):
             (x0, r0, p0, jnp.asarray(1., r0[0].dtype), 0, rn0, 0, rn0))
         return (tuple(xi[None] for xi in x), rn / bnorm, it)
 
-    def solve(C_blocks, rhs, x0, coarse=None, tol=1e-8, maxiter=400):
+    def solve(C_blocks, rhs, x0, coarse=None, tol=1e-8, maxiter=400,
+              fixed=None, own=None):
+        # explicit fixed/own for multi-process jit callers (closing over
+        # sm's global arrays spans non-addressable devices there)
+        fixed = sm.fixed if fixed is None else fixed
+        own = sm.own if own is None else own
         if two_level:
             Kc_inv, Wx_b, Wy, Wz, nyc, nzc = coarse
         else:
             # unused placeholders (the body skips the coarse correction)
             Wx_b, Wy, Wz, nyc, nzc = _coarse_weights3(sm, 2, 2)
             Kc_inv = jnp.eye((sm.D + 1) * nyc * nzc * 3, dtype=sm.dtype)
-        return cg(C_blocks, rhs, x0, sm.fixed, sm.own, Kc_inv, Wx_b,
+        return cg(C_blocks, rhs, x0, fixed, own, Kc_inv, Wx_b,
                   Wy, Wz, jnp.asarray(tol, sm.dtype),
                   jnp.asarray(maxiter, jnp.int32))
 
@@ -415,7 +426,6 @@ def make_deps3(sm: SlabMesh3):
     return deps_of
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 10))
 def slab_load_step3(sm: SlabMesh3, C_blocks, sig_blocks, epl_blocks, mat,
                     load_frac=1.0, n_inner=2, cg_tol=None, nsub=4,
                     CVs=None, two_level=True):
@@ -432,12 +442,26 @@ def slab_load_step3(sm: SlabMesh3, C_blocks, sig_blocks, epl_blocks, mat,
     the 2-D module is a known next step for many-material 3-D maps).
 
     Returns (sig, epl, du_blocks, diagnostics)."""
+    # the slab mesh's global arrays enter the jitted core as ARGUMENTS: a
+    # multi-process runtime rejects jit closures over arrays that span
+    # non-addressable devices (the single-process path is unaffected)
+    arrs = (sm.fixed, sm.fixed_val, sm.force, sm.own, sm.mat_ids)
+    return _slab_step3_core(sm, C_blocks, sig_blocks, epl_blocks, arrs,
+                            mat, float(load_frac), n_inner, cg_tol, nsub,
+                            CVs, bool(two_level))
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 11))
+def _slab_step3_core(sm: SlabMesh3, C_blocks, sig_blocks, epl_blocks,
+                     arrs, mat, load_frac, n_inner, cg_tol, nsub, CVs,
+                     two_level):
+    fixed, fixed_val, force, own, mat_ids = arrs
     dt = sig_blocks.dtype
     multi = isinstance(mat, (tuple, list)) \
         and not isinstance(mat, con.DeviceMaterial)
     if cg_tol is None:
         cg_tol = 1.e-11 if dt == jnp.float64 else 1.e-6
-    bc = tuple(v * load_frac for v in sm.fixed_val)
+    bc = tuple(v * load_frac for v in fixed_val)
     solve_cg = make_slab_cg3(sm, two_level=two_level)
     deps_of = make_deps3(sm)
     md_loc = sm.md_loc
@@ -462,7 +486,7 @@ def slab_load_step3(sm: SlabMesh3, C_blocks, sig_blocks, epl_blocks, mat,
         if not multi:
             return con.response_fast(mat, (sig_rows, epl_rows), deps_rows,
                                      jnp.asarray(CVs, dt), 12, nsub)
-        ids = sm.mat_ids.reshape(-1)
+        ids = mat_ids.reshape(-1)
         out = None
         for k, mk in enumerate(mat):
             CVk = jnp.asarray(CVs[k], dt)
@@ -477,22 +501,24 @@ def slab_load_step3(sm: SlabMesh3, C_blocks, sig_blocks, epl_blocks, mat,
                               o, prev) for prev, o in zip(out, ok))
         return out
 
-    force_rhs = tuple(f * load_frac for f in sm.force)
+    force_rhs = tuple(f * load_frac for f in force)
 
     def solve_with(el_blocks, coarse, x0=None):
         # rhs rebuilt with the CURRENT tangents (the BC lift -K@u_bc
         # changes with the tangent update, fe3d.load_step3 contract)
-        rhs_bc = rhs_of(el_blocks, bc, sm.fixed)
+        rhs_bc = rhs_of(el_blocks, bc, fixed)
         rhs = tuple(jnp.where(f, r, r + q) for f, r, q in
-                    zip(sm.fixed, rhs_bc, force_rhs))
+                    zip(fixed, rhs_bc, force_rhs))
         start = tuple(jnp.where(f, b, 0. if x0 is None else x)
-                      for f, b, x in zip(sm.fixed, bc,
+                      for f, b, x in zip(fixed, bc,
                                          x0 if x0 is not None else bc))
-        return solve_cg(el_blocks, rhs, start, coarse, tol=cg_tol)
+        return solve_cg(el_blocks, rhs, start, coarse, tol=cg_tol,
+                        fixed=fixed, own=own)
 
     # Schwarz coarse inverse built once per step from the ENTRY tangents:
     # preconditioner staleness only costs iterations, never correctness
-    coarse = build_coarse_inv3(sm, C_blocks) if two_level else None
+    coarse = build_coarse_inv3(sm, C_blocks, fixed=fixed) \
+        if two_level else None
     du, res, it = solve_with(C_blocks, coarse)
     elstiff = C_blocks
     for _ in range(n_inner):
