@@ -114,6 +114,34 @@ def probe_accelerator(timeout=240):
         return False
 
 
+def client_watchdog(timeout=300.):
+    """Guard the bench process's OWN first device touch.  Client creation
+    can wedge in THIS process even when the subprocess probe round-trips
+    (observed: two runs stuck >8 min / >50 min in ``jax.devices()`` while
+    fresh processes computed fine).  Backend init holds jax's global
+    backend lock, so once it hangs no in-process CPU fallback is possible
+    — instead a daemon thread emits the one-line JSON with the wedge
+    flagged and exits, so the driver records an honest result rather than
+    hanging.  Returns an Event the caller sets once devices are live."""
+    import threading
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout):
+            log(f'client creation did not complete in {timeout:.0f}s — '
+                'flagging wedge and exiting')
+            rec = {"metric": "hill_ml_return_maps_per_s", "value": 0.0,
+                   "unit": "gauss_points/s", "vs_baseline": 0.0,
+                   "platform": "none",
+                   "wedge_events": WEDGE['events'] + 1,
+                   "tpu_client_creation_wedged": True}
+            print(json.dumps(rec), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def sync(out):
     """Force completion of everything queued before reading the clock:
     on the tunnel-attached platform ``jax.block_until_ready`` does not
@@ -605,11 +633,17 @@ def main():
         log('accelerator probe FAILED (dispatch never completed) — '
             'falling back to local CPU, scale rows off')
 
+    live = client_watchdog(float(os.environ.get(
+        'PYLABFEA_BENCH_CLIENT_TIMEOUT', '300')))
+    if os.environ.get('PYLABFEA_BENCH_FORCE_CLIENT_WEDGE'):
+        time.sleep(1e9)   # synthetic client-creation hang (watchdog test)
     platform = jax.devices()[0].platform
+    live.set()
     dtype = jnp.float32
     log(f'platform: {platform}, devices: {jax.devices()}')
 
-    N = int(2 ** 20) if not wedged else int(2 ** 18)
+    N = int(os.environ.get('PYLABFEA_BENCH_N',
+                           2 ** 20 if not wedged else 2 ** 18))
     dm, svc_np = flagship(dtype)
     CV = _elastic_cv(dtype)
     sy = 150.
