@@ -176,8 +176,13 @@ The parity claim has three tiers:
    host-mirroring driver `bridge.solve_on_device_adaptive`): table below —
    meets the <= 1e-6 relative north-star on the golden workloads.
 3. **Device path, float32 on TPU** (production configuration): deviation
-   table below — percent-level agreement bounded by the f32 SVC kernel
-   arithmetic (HIGHEST-precision matmuls), NOT by the algorithms.
+   table below — element-field agreement ~2.5e-4 with one
+   iterative-refinement pass (`n_refine=1`), and ref-solve max-component
+   parity 7.1e-6 vs the converged faithful-f64 anchor when
+   `load_step_split(commit_faithful=True)` (the round-5 bench
+   configuration) finishes each step with the reference-faithful
+   substepped return map; bounded by f32 arithmetic (HIGHEST-precision
+   matmuls), NOT by the algorithms.
 
 ## Known semantic caveats (device vs reference)
 
